@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# Regenerate protobuf message code. Run from the repo root.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+protoc \
+  --proto_path=text_generation_inference_tpu/proto \
+  --python_out=text_generation_inference_tpu/pb \
+  text_generation_inference_tpu/proto/generation.proto
+echo "wrote text_generation_inference_tpu/pb/generation_pb2.py"
