@@ -1,0 +1,113 @@
+"""Tiny random-weight HF model fixtures (offline, deterministic).
+
+The reference's integration tests use real tiny checkpoints from the hub
+(reference: integration_tests/test_server.py:48-64 — gpt2, bloom-560m, ...).
+This environment has no network, so we build equivalent tiny models with
+random weights via transformers and save them locally; correctness is
+checked by comparing our JAX implementations against the HF torch forward
+pass on the same weights, which is a stronger check than golden outputs.
+"""
+
+import functools
+from pathlib import Path
+
+import torch
+
+FIXTURE_ROOT = Path(__file__).parent / "_fixture_models"
+
+
+def _save(model, name: str) -> str:
+    out = FIXTURE_ROOT / name
+    if not (out / "config.json").exists():
+        out.mkdir(parents=True, exist_ok=True)
+        model.save_pretrained(out, safe_serialization=True)
+    return str(out)
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_llama() -> str:
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6, tie_word_embeddings=False,
+    )
+    return _save(LlamaForCausalLM(cfg).eval(), "tiny_llama")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_gpt2() -> str:
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(1)
+    cfg = GPT2Config(
+        vocab_size=256, n_embd=64, n_layer=3, n_head=4, n_positions=128,
+        n_inner=None, activation_function="gelu_new",
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    return _save(GPT2LMHeadModel(cfg).eval(), "tiny_gpt2")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_bloom() -> str:
+    from transformers import BloomConfig, BloomForCausalLM
+
+    torch.manual_seed(2)
+    cfg = BloomConfig(
+        vocab_size=256, hidden_size=64, n_layer=3, n_head=4,
+        attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    return _save(BloomForCausalLM(cfg).eval(), "tiny_bloom")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_neox() -> str:
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    torch.manual_seed(3)
+    cfg = GPTNeoXConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=3, num_attention_heads=4,
+        max_position_embeddings=128, rotary_pct=0.25,
+        use_parallel_residual=True, attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    return _save(GPTNeoXForCausalLM(cfg).eval(), "tiny_neox")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_bigcode() -> str:
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    torch.manual_seed(4)
+    cfg = GPTBigCodeConfig(
+        vocab_size=256, n_embd=64, n_layer=3, n_head=4, n_positions=128,
+        multi_query=True, activation_function="gelu_pytorch_tanh",
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    return _save(GPTBigCodeForCausalLM(cfg).eval(), "tiny_bigcode")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_falcon() -> str:
+    from transformers import FalconConfig, FalconForCausalLM
+
+    torch.manual_seed(5)
+    cfg = FalconConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, alibi=False, bias=False,
+        attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    return _save(FalconForCausalLM(cfg).eval(), "tiny_falcon")
+
+
+ALL_DECODER_FIXTURES = {
+    "llama": tiny_llama,
+    "gpt2": tiny_gpt2,
+    "bloom": tiny_bloom,
+    "gpt_neox": tiny_neox,
+    "gpt_bigcode": tiny_bigcode,
+    "falcon": tiny_falcon,
+}

@@ -1,0 +1,191 @@
+"""Engine-level tests: continuous-batching integrity on the slot model.
+
+Ports the reference's batching-integrity invariants (reference:
+scripts/batch_integrity_checks/batching_integrity_checks.py:97-153):
+generation results must be identical whether a request runs alone or
+interleaved with other requests being admitted/freed around it.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from text_generation_inference_tpu.config import ServingConfig
+from text_generation_inference_tpu.engine.engine import InferenceEngine, RequestParams
+from text_generation_inference_tpu.models import families
+from tests import fixtures
+
+
+def make_engine(num_slots=4, max_seq=64):
+    model_dir = fixtures.tiny_llama()
+    spec, params = families.load_model(model_dir, dtype=jnp.float32)
+    cfg = ServingConfig(
+        max_sequence_length=max_seq, max_new_tokens=32,
+        max_batch_slots=num_slots, prefill_buckets=[8, 16, 32],
+    )
+    cfg.validate()
+    return InferenceEngine(spec, params, cfg, eos_token_id=2), spec, model_dir
+
+
+def run_single(engine, prompt, n_tokens, rp=None):
+    """Generate n_tokens greedily for one prompt, engine otherwise empty."""
+    rp = rp or RequestParams()
+    slot = engine.acquire_slot()
+    res = engine.prefill([slot], [prompt], [rp])
+    out = [int(res.first_token.next_ids[0])]
+    for _ in range(n_tokens - 1):
+        step = engine.decode()
+        out.append(int(step.next_ids[slot]))
+    engine.free(slot)
+    return out
+
+
+def hf_greedy(model_dir, prompt, n_tokens):
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(
+        model_dir, torch_dtype=torch.float32).eval()
+    ids = torch.tensor([prompt])
+    with torch.no_grad():
+        out = model.generate(
+            ids, max_new_tokens=n_tokens, min_new_tokens=n_tokens,
+            do_sample=False, num_beams=1)
+    return out[0, len(prompt):].tolist()
+
+
+PROMPTS = [
+    [5, 9, 23, 77, 41],
+    [100, 3, 250, 17, 88, 91, 12],
+    [7, 7, 7],
+    [42, 13, 99, 101, 55, 23, 81, 230, 11, 4],
+]
+
+
+class TestGreedyParity:
+    def test_engine_matches_hf_generate(self):
+        engine, spec, model_dir = make_engine()
+        for prompt in PROMPTS[:2]:
+            ours = run_single(engine, prompt, 12)
+            ref = hf_greedy(model_dir, prompt, 12)
+            assert ours == ref, f"prompt {prompt}: {ours} vs {ref}"
+
+
+class TestBatchingIntegrity:
+    def test_concurrent_equals_isolated(self):
+        engine, spec, model_dir = make_engine(num_slots=4)
+        isolated = {i: run_single(engine, p, 10) for i, p in enumerate(PROMPTS)}
+
+        # admit all four concurrently
+        slots = {}
+        outs = {i: [] for i in range(len(PROMPTS))}
+        for i, p in enumerate(PROMPTS):
+            s = engine.acquire_slot()
+            slots[i] = s
+            res = engine.prefill([s], [p], [RequestParams()])
+            outs[i].append(int(res.first_token.next_ids[0]))
+        for _ in range(9):
+            step = engine.decode()
+            for i, s in slots.items():
+                outs[i].append(int(step.next_ids[s]))
+        for i in range(len(PROMPTS)):
+            assert outs[i] == isolated[i], f"request {i} diverged under batching"
+        for s in slots.values():
+            engine.free(s)
+
+    def test_staggered_admission_and_free(self):
+        """Add-on prefills mid-decode must not perturb running requests."""
+        engine, spec, model_dir = make_engine(num_slots=4)
+        isolated = {i: run_single(engine, p, 10) for i, p in enumerate(PROMPTS)}
+
+        s0 = engine.acquire_slot()
+        r0 = engine.prefill([s0], [PROMPTS[0]], [RequestParams()])
+        out0 = [int(r0.first_token.next_ids[0])]
+        # 3 decode steps alone
+        for _ in range(3):
+            out0.append(int(engine.decode().next_ids[s0]))
+        # admit request 1 mid-flight
+        s1 = engine.acquire_slot()
+        r1 = engine.prefill([s1], [PROMPTS[1]], [RequestParams()])
+        out1 = [int(r1.first_token.next_ids[0])]
+        # run both; free request 0 when it hits 10 tokens
+        for _ in range(6):
+            step = engine.decode()
+            out0.append(int(step.next_ids[s0]))
+            out1.append(int(step.next_ids[s1]))
+        assert out0 == isolated[0]
+        engine.free(s0)
+        # admit request 2 into the freed... different slot
+        s2 = engine.acquire_slot()
+        r2 = engine.prefill([s2], [PROMPTS[2]], [RequestParams()])
+        out2 = [int(r2.first_token.next_ids[0])]
+        for _ in range(3):
+            step = engine.decode()
+            out1.append(int(step.next_ids[s1]))
+            out2.append(int(step.next_ids[s2]))
+        assert out1 == isolated[1]
+        assert out2[:4] == isolated[2][:4]
+
+    def test_slot_reuse_is_clean(self):
+        """A freed slot reused by a new request must not leak prior state."""
+        engine, spec, model_dir = make_engine(num_slots=2)
+        baseline = run_single(engine, PROMPTS[2], 8)
+        # occupy the specific slot with a different long request first
+        slot = engine.acquire_slot()
+        engine.prefill([slot], [PROMPTS[3]], [RequestParams(repetition_penalty=1.5,
+                                                            temperature=0.9, seed=7)])
+        for _ in range(5):
+            engine.decode()
+        engine.free(slot)
+        again = run_single(engine, PROMPTS[2], 8)
+        assert again == baseline
+
+
+class TestSampling:
+    def test_same_seed_reproducible_across_slots(self):
+        engine, spec, model_dir = make_engine(num_slots=4)
+        rp = RequestParams(temperature=0.8, top_p=0.9, seed=1234)
+        a = run_single(engine, PROMPTS[0], 8, rp)
+        # occupy a couple of slots so the request lands elsewhere
+        s_a = engine.acquire_slot()
+        s_b = engine.acquire_slot()
+        engine.prefill([s_a], [PROMPTS[1]], [RequestParams()])
+        b_slot = engine.acquire_slot()
+        res = engine.prefill([b_slot], [PROMPTS[0]], [rp])
+        b = [int(res.first_token.next_ids[0])]
+        for _ in range(7):
+            b.append(int(engine.decode().next_ids[b_slot]))
+        assert a == b, "same seed must give same tokens regardless of slot/batch"
+
+    def test_different_seeds_diverge(self):
+        engine, spec, model_dir = make_engine()
+        a = run_single(engine, PROMPTS[1], 10, RequestParams(temperature=1.5, seed=1))
+        b = run_single(engine, PROMPTS[1], 10, RequestParams(temperature=1.5, seed=2))
+        assert a != b
+
+    def test_min_new_tokens_blocks_eos(self):
+        engine, spec, model_dir = make_engine()
+        rp = RequestParams(min_new_tokens=6)
+        slot = engine.acquire_slot()
+        res = engine.prefill([slot], [PROMPTS[0]], [rp])
+        toks = [int(res.first_token.next_ids[0])]
+        for _ in range(5):
+            toks.append(int(engine.decode().next_ids[slot]))
+        assert engine.eos_token_id not in toks[:6]
+
+
+class TestMultiPrefill:
+    def test_batched_prefill_matches_individual(self):
+        engine, spec, model_dir = make_engine(num_slots=4)
+        iso = {i: run_single(engine, p, 6) for i, p in enumerate(PROMPTS[:3])}
+        slots = [engine.acquire_slot() for _ in range(3)]
+        res = engine.prefill(
+            slots, PROMPTS[:3], [RequestParams()] * 3)
+        outs = {i: [int(res.first_token.next_ids[i])] for i in range(3)}
+        for _ in range(5):
+            step = engine.decode()
+            for i, s in enumerate(slots):
+                outs[i].append(int(step.next_ids[s]))
+        for i in range(3):
+            assert outs[i] == iso[i], f"batched prefill diverged for request {i}"

@@ -1,0 +1,109 @@
+"""Model-family correctness: our JAX decoder vs HF transformers torch forward.
+
+For each family we check:
+  1. prefill logits over a padded bucket match the HF full forward;
+  2. incremental decode through the KV cache reproduces the HF logits at
+     every position (validates cache writes, RoPE/ALiBi positions, masking);
+  3. multi-sequence prefill with different lengths and slots.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from text_generation_inference_tpu.models import core, families
+from tests import fixtures
+
+RTOL, ATOL = 2e-4, 2e-4
+
+
+def hf_logits(model_dir: str, ids: np.ndarray) -> np.ndarray:
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(model_dir, torch_dtype=torch.float32).eval()
+    with torch.no_grad():
+        out = model(torch.tensor(ids.astype(np.int64)))
+    return out.logits.float().numpy()
+
+
+@pytest.fixture(scope="module", params=sorted(fixtures.ALL_DECODER_FIXTURES))
+def family_setup(request):
+    family = request.param
+    model_dir = fixtures.ALL_DECODER_FIXTURES[family]()
+    spec, params = families.load_model(model_dir, dtype=jnp.float32)
+    return family, model_dir, spec, params
+
+
+def test_prefill_matches_hf(family_setup):
+    family, model_dir, spec, params = family_setup
+    rng = np.random.default_rng(7)
+    t, bucket = 10, 16
+    ids = rng.integers(0, spec.vocab_size, size=(1, t)).astype(np.int32)
+
+    padded = np.zeros((1, bucket), np.int32)
+    padded[:, :t] = ids
+    cache = core.KVCache.create(spec, num_slots=2, max_seq=32, dtype=jnp.float32)
+    logits, _ = core.prefill(
+        spec, params,
+        jnp.asarray(padded), jnp.asarray([t], jnp.int32), jnp.asarray([0], jnp.int32),
+        cache)
+    ours = np.asarray(logits)[0, :t]
+    ref = hf_logits(model_dir, ids)[0]
+    np.testing.assert_allclose(ours, ref, rtol=RTOL, atol=ATOL)
+
+
+def test_incremental_decode_matches_hf(family_setup):
+    family, model_dir, spec, params = family_setup
+    rng = np.random.default_rng(11)
+    total, t0 = 12, 5
+    ids = rng.integers(0, spec.vocab_size, size=(1, total)).astype(np.int32)
+    ref = hf_logits(model_dir, ids)[0]
+
+    num_slots, max_seq, bucket = 4, 32, 8
+    slot = 2
+    cache = core.KVCache.create(spec, num_slots, max_seq, jnp.float32)
+    padded = np.zeros((1, bucket), np.int32)
+    padded[:, :t0] = ids[:, :t0]
+    logits, cache = core.prefill(
+        spec, params, jnp.asarray(padded),
+        jnp.asarray([t0], jnp.int32), jnp.asarray([slot], jnp.int32), cache)
+    np.testing.assert_allclose(
+        np.asarray(logits)[0, t0 - 1], ref[t0 - 1], rtol=RTOL, atol=ATOL)
+
+    # feed remaining tokens one at a time through the full slot-batch decode
+    for pos in range(t0, total):
+        step_ids = np.zeros((num_slots,), np.int32)
+        step_ids[slot] = ids[0, pos]
+        positions = np.zeros((num_slots,), np.int32)
+        positions[slot] = pos
+        ctx = np.ones((num_slots,), np.int32)
+        ctx[slot] = pos + 1
+        logits, cache = core.decode(
+            spec, params, jnp.asarray(step_ids), jnp.asarray(positions),
+            cache, jnp.asarray(ctx))
+        np.testing.assert_allclose(
+            np.asarray(logits)[slot], ref[pos], rtol=RTOL, atol=ATOL,
+            err_msg=f"{family}: decode mismatch at position {pos}")
+
+
+def test_multiseq_prefill_ragged(family_setup):
+    family, model_dir, spec, params = family_setup
+    rng = np.random.default_rng(13)
+    bucket = 12
+    lens = [4, 9]
+    ids_np = rng.integers(0, spec.vocab_size, size=(2, bucket)).astype(np.int32)
+    for i, ln in enumerate(lens):
+        ids_np[i, ln:] = 0
+
+    cache = core.KVCache.create(spec, num_slots=4, max_seq=16, dtype=jnp.float32)
+    logits, cache = core.prefill(
+        spec, params, jnp.asarray(ids_np),
+        jnp.asarray(lens, jnp.int32), jnp.asarray([3, 1], jnp.int32), cache)
+
+    for i, ln in enumerate(lens):
+        ref = hf_logits(model_dir, ids_np[i : i + 1, :ln])[0]
+        np.testing.assert_allclose(
+            np.asarray(logits)[i, :ln], ref, rtol=RTOL, atol=ATOL,
+            err_msg=f"{family}: ragged prefill row {i}")

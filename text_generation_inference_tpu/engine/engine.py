@@ -1,0 +1,310 @@
+"""Single-controller inference engine over a fixed slot batch.
+
+This is the TPU-native replacement for the reference's whole L4-L6 stack —
+the per-GPU shard processes, their gRPC servicer, the Batch state machines
+and the batch cache (reference: server/text_generation_server/server.py,
+models/causal_lm.py, models/flash_causal_lm.py, cache.py). One process owns
+all local TPU chips; state lives in device arrays indexed by slot:
+
+  * `prefill(slot, ids, params)` — pads the prompt to a length bucket, runs
+    the compiled prefill for that bucket (writing KV into the slot), samples
+    the first token, and installs the request's sampling parameters;
+  * `decode()` — one compiled step over every slot; returns per-slot token
+    ids + details to the host;
+  * `free(slot)` — host bookkeeping only (the reference's PruneBatch /
+    concatenate work vanishes: there is nothing to reshape).
+
+Compiled functions are cached per static shape: decode compiles exactly
+once, prefill once per (bucket, details-variant). This replaces the
+reference's PT2-compile shape-grid warmup (reference: utils/warmup.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ServingConfig
+from ..models import core
+from ..models.core import DecoderSpec, KVCache
+from . import sampling
+from .sampling import SlotSamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+class EngineState(NamedTuple):
+    """Per-slot device state (all leading dims = num_slots)."""
+
+    history: jax.Array      # [S, T] i32: prompt + generated token ids
+    history_len: jax.Array  # [S] i32: valid ids in history
+    input_len: jax.Array    # [S] i32: prompt length
+    gen_count: jax.Array    # [S] i32: generated tokens so far
+    active: jax.Array       # [S] bool
+    params: SlotSamplingParams
+
+    @classmethod
+    def create(cls, num_slots: int, max_seq: int) -> "EngineState":
+        return cls(
+            history=jnp.zeros((num_slots, max_seq), jnp.int32),
+            history_len=jnp.ones((num_slots,), jnp.int32),
+            input_len=jnp.ones((num_slots,), jnp.int32),
+            gen_count=jnp.zeros((num_slots,), jnp.int32),
+            active=jnp.zeros((num_slots,), jnp.bool_),
+            params=SlotSamplingParams.empty(num_slots),
+        )
+
+
+@dataclasses.dataclass
+class RequestParams:
+    """Per-request decoding parameters, validated upstream."""
+
+    temperature: float = 0.0        # 0 => greedy
+    top_k: int = 0
+    top_p: float = 1.0
+    typical_p: float = 1.0
+    seed: int = 0
+    repetition_penalty: float = 1.0
+    lp_start: int = 0
+    lp_decay: float = 0.0
+    min_new_tokens: int = 0
+    max_new_tokens: int = 20
+
+
+class StepResult(NamedTuple):
+    """Host-side view of one engine step for a set of rows."""
+
+    next_ids: np.ndarray       # [N]
+    logprob: np.ndarray        # [N]
+    rank: np.ndarray           # [N]
+    top_ids: np.ndarray        # [N, TOP_N_CAP]
+    top_logprobs: np.ndarray   # [N, TOP_N_CAP]
+    top_scores: np.ndarray     # [N, TOP_N_CAP]
+
+
+class PrefillResult(NamedTuple):
+    first_token: StepResult                    # rows == the prefilled seqs
+    prompt_details: Optional[list[dict]]       # per seq, when requested
+
+
+# ---------------------------------------------------------------------------
+# pure step functions (jitted)
+# ---------------------------------------------------------------------------
+
+
+def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
+                 cache: KVCache, state: EngineState):
+    s, t_max = state.history.shape
+    rows = jnp.arange(s)
+    pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
+    ids = state.history[rows, pos]
+    logits, cache = core.decode(
+        spec, params, ids, pos, cache, context_len=pos + 1)
+    next_ids, details = sampling.next_tokens(
+        logits, state.params, state.gen_count, state.history,
+        state.history_len, eos_id)
+    active = state.active
+    write_pos = jnp.clip(state.history_len, 0, t_max - 1)
+    new_hist = state.history.at[rows, write_pos].set(
+        jnp.where(active, next_ids, state.history[rows, write_pos]))
+    state = state._replace(
+        history=new_hist,
+        history_len=state.history_len + active.astype(jnp.int32),
+        gen_count=state.gen_count + active.astype(jnp.int32),
+    )
+    return cache, state, next_ids, details
+
+
+def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
+                  params: dict, cache: KVCache, state: EngineState,
+                  ids: jax.Array,        # [N, B] right-padded bucket
+                  lengths: jax.Array,    # [N]
+                  slots: jax.Array,      # [N]
+                  prefix_embeds: Optional[jax.Array] = None,  # [N, B, D]
+                  prefix_len: Optional[jax.Array] = None):    # [N]
+    n, b = ids.shape
+    t_max = state.history.shape[1]
+    logits_all, cache = core.prefill(
+        spec, params, ids, lengths, slots, cache,
+        prefix_embeds=prefix_embeds, prefix_len=prefix_len)
+    rows = jnp.arange(n)
+    last_logits = logits_all[rows, lengths - 1]          # [N, V]
+
+    req_params = state.params.gather(slots)
+    next_ids, details = sampling.next_tokens(
+        last_logits, req_params,
+        gen_count=jnp.zeros((n,), jnp.int32),
+        token_history=ids, history_len=lengths,
+        eos_token_id=eos_id)
+
+    # install prompt + first token into the slot state
+    hist = state.history
+    hist = hist.at[slots[:, None], jnp.arange(b)[None, :]].set(ids, mode="drop")
+    first_pos = jnp.clip(lengths, 0, t_max - 1)
+    hist = hist.at[slots, first_pos].set(next_ids, mode="drop")
+    state = state._replace(
+        history=hist,
+        history_len=state.history_len.at[slots].set(lengths + 1),
+        input_len=state.input_len.at[slots].set(lengths),
+        gen_count=state.gen_count.at[slots].set(1),
+        active=state.active.at[slots].set(True),
+    )
+    if want_prompt_details:
+        pdet = jax.vmap(
+            lambda lg, pid: sampling.prompt_token_details(lg[: b - 1], pid)
+        )(logits_all, ids)
+    else:
+        pdet = None
+    return cache, state, next_ids, details, pdet
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+class InferenceEngine:
+    """Owns model params, KV cache and slot state; exposes host-level ops."""
+
+    def __init__(
+        self,
+        spec: DecoderSpec,
+        params: dict,
+        config: ServingConfig,
+        eos_token_id: int,
+        embed_dim_dtype=None,
+    ):
+        self.spec = spec
+        self.model_params = params
+        self.config = config
+        self.eos_token_id = eos_token_id
+        self.num_slots = config.max_batch_slots
+        self.max_seq = config.max_sequence_length
+
+        cache_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        self.cache = KVCache.create(spec, self.num_slots, self.max_seq, cache_dtype)
+        self.state = EngineState.create(self.num_slots, self.max_seq)
+        self.free_slots: list[int] = list(range(self.num_slots))
+
+        self._decode_fn = jax.jit(
+            partial(_decode_step, spec, eos_token_id),
+            donate_argnums=(1, 2),
+        )
+        self._prefill_fns: dict[tuple[int, int, bool], Any] = {}
+        self.last_forward_ns: int = 0
+
+    # -- capacity ----------------------------------------------------------
+
+    @property
+    def num_active(self) -> int:
+        return self.num_slots - len(self.free_slots)
+
+    def acquire_slot(self) -> Optional[int]:
+        return self.free_slots.pop() if self.free_slots else None
+
+    def free(self, slot: int) -> None:
+        """Release a slot. Host bookkeeping + one tiny device mask update."""
+        self.state = self.state._replace(active=self.state.active.at[slot].set(False))
+        self.free_slots.append(slot)
+
+    # -- steps -------------------------------------------------------------
+
+    def _get_prefill_fn(self, n: int, bucket: int, want_details: bool):
+        key = (n, bucket, want_details)
+        fn = self._prefill_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(_prefill_step, self.spec, self.eos_token_id, want_details),
+                donate_argnums=(1, 2),
+            )
+            self._prefill_fns[key] = fn
+        return fn
+
+    def set_request_params(self, slot: int, rp: RequestParams) -> None:
+        self.state = self.state._replace(
+            params=self.state.params.write_slot(
+                slot,
+                temperature=rp.temperature,
+                top_k=rp.top_k,
+                top_p=rp.top_p,
+                typical_p=rp.typical_p,
+                repetition_penalty=rp.repetition_penalty,
+                lp_start=rp.lp_start,
+                lp_decay=rp.lp_decay,
+                min_new_tokens=rp.min_new_tokens,
+                seed=rp.seed,
+            )
+        )
+
+    def prefill(
+        self,
+        slots: list[int],
+        token_ids: list[list[int]],
+        request_params: list[RequestParams],
+        want_prompt_details: bool = False,
+    ) -> PrefillResult:
+        """Prefill one or more prompts into their slots; returns first tokens."""
+        n = len(slots)
+        assert n == len(token_ids) == len(request_params)
+        for slot, rp in zip(slots, request_params):
+            self.set_request_params(slot, rp)
+        max_len = max(len(t) for t in token_ids)
+        bucket = self.config.bucket_for(max_len)
+        ids = np.zeros((n, bucket), np.int32)
+        lengths = np.zeros((n,), np.int32)
+        for i, toks in enumerate(token_ids):
+            ids[i, : len(toks)] = toks
+            lengths[i] = len(toks)
+
+        fn = self._get_prefill_fn(n, bucket, want_prompt_details)
+        t0 = time.monotonic_ns()
+        self.cache, self.state, next_ids, details, pdet = fn(
+            self.model_params, self.cache, self.state,
+            jnp.asarray(ids), jnp.asarray(lengths),
+            jnp.asarray(slots, jnp.int32))
+        step = StepResult(
+            next_ids=np.asarray(next_ids),
+            logprob=np.asarray(details.logprob),
+            rank=np.asarray(details.rank),
+            top_ids=np.asarray(details.top_ids),
+            top_logprobs=np.asarray(details.top_logprobs),
+            top_scores=np.asarray(details.top_scores),
+        )
+        self.last_forward_ns = time.monotonic_ns() - t0
+
+        prompt_details = None
+        if want_prompt_details:
+            prompt_details = []
+            for i in range(n):
+                ln = int(lengths[i])
+                prompt_details.append({
+                    "logprob": np.asarray(pdet.logprob)[i, :ln],
+                    "rank": np.asarray(pdet.rank)[i, :ln],
+                    "top_ids": np.asarray(pdet.top_ids)[i, :ln],
+                    "top_logprobs": np.asarray(pdet.top_logprobs)[i, :ln],
+                    "top_scores": np.asarray(pdet.top_scores)[i, :ln],
+                })
+        return PrefillResult(first_token=step, prompt_details=prompt_details)
+
+    def decode(self) -> StepResult:
+        """One decode step across all slots (inactive slots masked)."""
+        t0 = time.monotonic_ns()
+        self.cache, self.state, next_ids, details = self._decode_fn(
+            self.model_params, self.cache, self.state)
+        res = StepResult(
+            next_ids=np.asarray(next_ids),
+            logprob=np.asarray(details.logprob),
+            rank=np.asarray(details.rank),
+            top_ids=np.asarray(details.top_ids),
+            top_logprobs=np.asarray(details.top_logprobs),
+            top_scores=np.asarray(details.top_scores),
+        )
+        self.last_forward_ns = time.monotonic_ns() - t0
+        return res

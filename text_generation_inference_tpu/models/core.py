@@ -1,0 +1,469 @@
+"""Generic decoder-only transformer with a slot-indexed KV cache.
+
+This single implementation replaces the reference's per-family torch modules
+(reference: server/.../models/custom_modeling/flash_llama_modeling.py:240-497
+and siblings): family differences — RoPE vs ALiBi vs learned positions,
+RMSNorm vs LayerNorm, GLU vs plain MLP, parallel vs sequential residuals,
+MQA/GQA head counts, biases — are all data in `DecoderSpec`.
+
+TPU-first design notes:
+  * layer parameters are stacked along a leading axis and the layer loop is a
+    `lax.scan`, so compile time is O(1) in depth;
+  * the KV cache is a pair of `[L, S, K, T, D]` arrays (S = batch slots,
+    T = max sequence length); prefill and decode write into it with
+    dynamic-update-slice, and callers donate the cache buffers so XLA
+    updates them in place;
+  * every shape is static: prefill is compiled per (num_seqs, bucket_len),
+    decode is compiled once for the full slot batch, with inactive slots
+    masked. This is the whole replacement for the reference's
+    prune/concatenate batch churn (reference: causal_lm.py:218-545).
+  * attention currently uses plain XLA einsum + masked softmax; the Pallas
+    flash/ragged kernels in ops/pallas plug in behind the same interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderSpec:
+    """Static architecture description of a decoder-only model family."""
+
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    # position encoding: "rope" | "alibi" | "learned"
+    pos: str = "rope"
+    rope_theta: float = 10000.0
+    rope_scaling: float = 1.0     # linear position-interpolation factor
+    rotary_pct: float = 1.0       # fraction of head_dim that rotates (neox)
+    max_position_embeddings: int = 2048
+    # norms
+    norm: str = "rmsnorm"         # "rmsnorm" | "layernorm"
+    norm_eps: float = 1e-5
+    embed_norm: bool = False      # extra LayerNorm after embedding (bloom)
+    # mlp
+    activation: str = "silu_glu"  # "silu_glu" | "gelu_glu" | "gelu" | "gelu_tanh"
+    # structure
+    parallel_residual: bool = False  # attn and mlp share the input (neox/falcon)
+    qkv_bias: bool = False
+    attn_out_bias: bool = False
+    mlp_bias: bool = False
+    norm_bias: bool = False       # LayerNorm has bias (always true for layernorm)
+    tie_word_embeddings: bool = False
+    attn_softmax_in_f32: bool = True
+    # gpt2-style scaling of attention scores already folded in via head_dim
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    @property
+    def rotary_dim(self) -> int:
+        d = int(self.head_dim * self.rotary_pct)
+        return d - d % 2
+
+
+class KVCache(NamedTuple):
+    """Slot-indexed KV cache: k/v are [num_layers, slots, kv_heads, max_seq, head_dim]."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(cls, spec: DecoderSpec, num_slots: int, max_seq: int, dtype) -> "KVCache":
+        shape = (spec.num_layers, num_slots, spec.num_kv_heads, max_seq, spec.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# parameter initialization (random weights; real checkpoints come from
+# utils/weights.py via models/families.py name mapping)
+# ---------------------------------------------------------------------------
+
+
+def init_params(spec: DecoderSpec, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-init parameter pytree (layer-stacked). Used for tests/benches."""
+    k_iter = iter(jax.random.split(key, 64))
+
+    def dense(shape, scale=None):
+        scale = scale if scale is not None else 1.0 / math.sqrt(shape[0])
+        return (jax.random.normal(next(k_iter), shape, jnp.float32) * scale).astype(dtype)
+
+    L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size
+    H, K, Dh = spec.num_heads, spec.num_kv_heads, spec.head_dim
+
+    def stack(fn):
+        return jnp.stack([fn() for _ in range(L)])
+
+    def norm_params(with_bias):
+        p = {"scale": jnp.ones((L, D), dtype)}
+        if with_bias:
+            p["bias"] = jnp.zeros((L, D), dtype)
+        return p
+
+    norm_has_bias = spec.norm == "layernorm" or spec.norm_bias
+    glu = spec.activation.endswith("_glu")
+
+    layers = {
+        "ln1": norm_params(norm_has_bias),
+        "ln2": norm_params(norm_has_bias),
+        "wq": stack(lambda: dense((D, H * Dh))),
+        "wk": stack(lambda: dense((D, K * Dh))),
+        "wv": stack(lambda: dense((D, K * Dh))),
+        "wo": stack(lambda: dense((H * Dh, D))),
+        "w_up": stack(lambda: dense((D, F))),
+        "w_down": stack(lambda: dense((F, D))),
+    }
+    if glu:
+        layers["w_gate"] = stack(lambda: dense((D, F)))
+    if spec.qkv_bias:
+        layers["bq"] = jnp.zeros((L, H * Dh), dtype)
+        layers["bk"] = jnp.zeros((L, K * Dh), dtype)
+        layers["bv"] = jnp.zeros((L, K * Dh), dtype)
+    if spec.attn_out_bias:
+        layers["bo"] = jnp.zeros((L, D), dtype)
+    if spec.mlp_bias:
+        layers["b_up"] = jnp.zeros((L, F), dtype)
+        layers["b_down"] = jnp.zeros((L, D), dtype)
+        if glu:
+            layers["b_gate"] = jnp.zeros((L, F), dtype)
+
+    params = {
+        "embed_tokens": dense((spec.vocab_size, D), scale=0.02),
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.ones((D,), dtype),
+            **({"bias": jnp.zeros((D,), dtype)} if norm_has_bias else {}),
+        },
+    }
+    if spec.pos == "learned":
+        params["embed_positions"] = dense((spec.max_position_embeddings, D), scale=0.02)
+    if spec.embed_norm:
+        params["embed_ln"] = {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)}
+    if not spec.tie_word_embeddings:
+        params["lm_head"] = dense((D, spec.vocab_size))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _norm(spec: DecoderSpec, p: dict, x: jax.Array) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    if spec.norm == "rmsnorm":
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = xf * jax.lax.rsqrt(var + spec.norm_eps)
+    else:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + spec.norm_eps)
+    out = out * p["scale"].astype(jnp.float32)
+    if "bias" in p:
+        out = out + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _activate(spec: DecoderSpec, up: jax.Array, gate: Optional[jax.Array]) -> jax.Array:
+    act = spec.activation
+    if act == "silu_glu":
+        return jax.nn.silu(gate) * up
+    if act == "gelu_glu":
+        return jax.nn.gelu(gate, approximate=False) * up
+    if act == "gelu":
+        return jax.nn.gelu(up, approximate=False)
+    if act == "gelu_tanh":
+        return jax.nn.gelu(up, approximate=True)
+    raise ValueError(f"unknown activation {act}")
+
+
+def _rope_freqs(spec: DecoderSpec, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables for rotate-half RoPE at the given positions.
+
+    Linear scaling divides positions by the scaling factor (reference:
+    flash_llama_modeling.py LinearScaling rotary).
+    """
+    rd = spec.rotary_dim
+    inv_freq = 1.0 / (
+        spec.rope_theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    pos = positions.astype(jnp.float32) / spec.rope_scaling
+    freqs = jnp.einsum("...,f->...f", pos, inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rope(spec: DecoderSpec, x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [..., heads, head_dim]; cos/sin: [..., rotary_dim] (no head axis)."""
+    rd = spec.rotary_dim
+    x_rot, x_pass = x[..., :rd], x[..., rd:]
+    half = rd // 2
+    x1, x2 = x_rot[..., :half], x_rot[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    x_rot = (x_rot.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
+    return jnp.concatenate([x_rot, x_pass], axis=-1) if rd < x.shape[-1] else x_rot
+
+
+def alibi_slopes(num_heads: int) -> np.ndarray:
+    """ALiBi head slopes (reference: custom_modeling/bloom_modeling.py:104)."""
+    closest = 2 ** math.floor(math.log2(num_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
+    slopes = [base ** i for i in range(1, closest + 1)]
+    if closest < num_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * closest) - 3)))
+        slopes += [extra_base ** i for i in range(1, 2 * (num_heads - closest), 2)]
+    return np.asarray(slopes, np.float32)
+
+
+def _embed(spec: DecoderSpec, params: dict, ids: jax.Array, positions: jax.Array) -> jax.Array:
+    x = jnp.take(params["embed_tokens"], ids, axis=0)
+    if spec.pos == "learned":
+        x = x + jnp.take(params["embed_positions"], positions, axis=0)
+    if spec.embed_norm:
+        p = params["embed_ln"]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + spec.norm_eps)
+        x = (xf * p["scale"] + p["bias"]).astype(x.dtype)
+    return x
+
+
+def _unembed(spec: DecoderSpec, params: dict, x: jax.Array) -> jax.Array:
+    w = params["embed_tokens"].T if spec.tie_word_embeddings else params["lm_head"]
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def _qkv(spec: DecoderSpec, lp: dict, x: jax.Array):
+    """x: [..., D] -> q [..., H, Dh], k/v [..., K, Dh]."""
+    q = jnp.dot(x, lp["wq"])
+    k = jnp.dot(x, lp["wk"])
+    v = jnp.dot(x, lp["wv"])
+    if spec.qkv_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(*x.shape[:-1], spec.num_heads, spec.head_dim)
+    k = k.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)
+    v = v.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)
+    return q, k, v
+
+
+def _attn_out(spec: DecoderSpec, lp: dict, attn: jax.Array) -> jax.Array:
+    out = jnp.dot(attn.reshape(*attn.shape[:-2], spec.q_size), lp["wo"])
+    if spec.attn_out_bias:
+        out = out + lp["bo"]
+    return out
+
+
+def _mlp(spec: DecoderSpec, lp: dict, x: jax.Array) -> jax.Array:
+    up = jnp.dot(x, lp["w_up"])
+    if spec.mlp_bias:
+        up = up + lp["b_up"]
+    gate = None
+    if spec.activation.endswith("_glu"):
+        gate = jnp.dot(x, lp["w_gate"])
+        if spec.mlp_bias:
+            gate = gate + lp["b_gate"]
+    h = _activate(spec, up, gate)
+    out = jnp.dot(h, lp["w_down"])
+    if spec.mlp_bias:
+        out = out + lp["b_down"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# prefill
+# ---------------------------------------------------------------------------
+
+
+def prefill(
+    spec: DecoderSpec,
+    params: dict,
+    ids: jax.Array,        # [N, T] i32, right-padded to the bucket length
+    lengths: jax.Array,    # [N] i32 true lengths
+    slots: jax.Array,      # [N] i32 target cache slots
+    cache: KVCache,
+    prefix_embeds: Optional[jax.Array] = None,  # [N, T, D] override (soft prompts)
+    prefix_len: Optional[jax.Array] = None,     # [N] i32 prefix positions per row
+) -> tuple[jax.Array, KVCache]:
+    """Full causal forward over a padded bucket; writes KV into `cache` slots.
+
+    Returns ([N, T, V] f32 logits at every position, updated cache). Garbage
+    beyond each row's true length is never read back: decode masks on
+    context length, and the caller gathers logits at length-1.
+    """
+    n, t = ids.shape
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (n, t))
+    x = _embed(spec, params, ids, positions)
+    if prefix_embeds is not None:
+        # soft-prompt injection: rows with prefix_len > 0 take their first
+        # prefix_len vectors from prefix_embeds instead of token embeddings
+        # (reference: causal_lm.py:175-191)
+        use_prefix = positions < prefix_len[:, None]
+        x = jnp.where(use_prefix[..., None], prefix_embeds.astype(x.dtype), x)
+
+    if spec.pos == "rope":
+        cos, sin = _rope_freqs(spec, positions)     # [N, T, rd]
+    else:
+        cos = sin = None
+
+    causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
+    key_valid = positions < lengths[:, None]        # [N, T] mask padded keys
+    mask = causal[None, :, :] & key_valid[:, None, :]
+    if spec.pos == "alibi":
+        slopes = jnp.asarray(alibi_slopes(spec.num_heads))
+        alibi = slopes[:, None] * jnp.arange(t, dtype=jnp.float32)[None, :]
+        bias = alibi[None, :, None, :]              # [1, H, 1, T]
+    else:
+        bias = None
+
+    scale = 1.0 / math.sqrt(spec.head_dim)
+    group = spec.num_heads // spec.num_kv_heads
+
+    def layer(x, inputs):
+        lp, ck, cv = inputs
+        h = _norm(spec, lp["ln1"], x)
+        q, k, v = _qkv(spec, lp, h)
+        if cos is not None:
+            q = _apply_rope(spec, q, cos, sin)
+            k = _apply_rope(spec, k, cos, sin)
+        # [N, T, H, Dh] -> grouped [N, T, K, G, Dh]
+        qg = q.reshape(n, t, spec.num_kv_heads, group, spec.head_dim)
+        scores = jnp.einsum("nqkgd,nvkd->nkgqv", qg, k,
+                            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            b = bias.reshape(1, spec.num_kv_heads, group, 1, t)
+            scores = scores + b
+        scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("nkgqv,nvkd->nqkgd", probs, v)
+        attn = attn.reshape(n, t, spec.num_heads, spec.head_dim)
+        attn = _attn_out(spec, lp, attn)
+
+        if spec.parallel_residual:
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + attn + _mlp(spec, lp, h2)
+        else:
+            x = x + attn
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + _mlp(spec, lp, h2)
+
+        # write this layer's K/V into the cache slots: ck/cv are [S, K, Tmax, D]
+        k_t = k.transpose(0, 2, 1, 3).astype(ck.dtype)   # [N, K, T, D]
+        v_t = v.transpose(0, 2, 1, 3).astype(cv.dtype)
+        ck = ck.at[slots, :, :t, :].set(k_t)
+        cv = cv.at[slots, :, :t, :].set(v_t)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
+    x = _norm(spec, params["final_norm"], x)
+    logits = _unembed(spec, params, x)
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def decode(
+    spec: DecoderSpec,
+    params: dict,
+    ids: jax.Array,          # [S] i32: last token per slot
+    positions: jax.Array,    # [S] i32: position of that token (= context_len - 1 + 1 write pos)
+    cache: KVCache,
+    context_len: jax.Array,  # [S] i32: valid tokens in cache per slot AFTER this step's write
+) -> tuple[jax.Array, KVCache]:
+    """One decode step over every slot. Returns ([S, V] f32 logits, cache).
+
+    `positions[s]` is the position at which `ids[s]` is written into the
+    cache (i.e. the current sequence length before the step), and
+    `context_len[s]` must equal `positions[s] + 1` for active slots; inactive
+    slots just recompute garbage into their own slot, which is later
+    overwritten by the next prefill.
+    """
+    s = ids.shape[0]
+    t_max = cache.max_seq
+    x = _embed(spec, params, ids, positions)        # [S, D]
+
+    if spec.pos == "rope":
+        cos, sin = _rope_freqs(spec, positions)     # [S, rd]
+    else:
+        cos = sin = None
+
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)
+    mask = key_pos[None, :] < context_len[:, None]  # [S, Tmax]
+    if spec.pos == "alibi":
+        slopes = jnp.asarray(alibi_slopes(spec.num_heads))
+        bias = slopes[:, None] * key_pos.astype(jnp.float32)[None, :]  # [H, Tmax]
+    else:
+        bias = None
+
+    scale = 1.0 / math.sqrt(spec.head_dim)
+    group = spec.num_heads // spec.num_kv_heads
+    rows = jnp.arange(s)
+
+    def layer(x, inputs):
+        lp, ck, cv = inputs
+        h = _norm(spec, lp["ln1"], x)
+        q, k, v = _qkv(spec, lp, h)                 # q [S, H, Dh]; k/v [S, K, Dh]
+        if cos is not None:
+            q = _apply_rope(spec, q, cos, sin)
+            k = _apply_rope(spec, k, cos, sin)
+
+        # write new k/v at each slot's current position
+        ck = ck.at[rows, :, positions, :].set(k.astype(ck.dtype))
+        cv = cv.at[rows, :, positions, :].set(v.astype(cv.dtype))
+
+        qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
+        scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
+                            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            b = bias.reshape(spec.num_kv_heads, group, t_max)
+            scores = scores + b[None]
+        scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
+        attn = jnp.einsum("skgt,sktd->skgd", probs, cv)
+        attn = attn.reshape(s, spec.num_heads, spec.head_dim)
+        attn = _attn_out(spec, lp, attn)
+
+        if spec.parallel_residual:
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + attn + _mlp(spec, lp, h2)
+        else:
+            x = x + attn
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + _mlp(spec, lp, h2)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
+    x = _norm(spec, params["final_norm"], x)
+    logits = _unembed(spec, params, x)
+    return logits, KVCache(k=new_k, v=new_v)

@@ -1,0 +1,457 @@
+"""HF model-family registry: config.json → DecoderSpec, checkpoint → params.
+
+Replaces the reference's per-architecture custom_modeling modules and the
+engine's model-class dispatch (reference:
+server/.../inference_engine/tgis_native.py:60-114,
+models/__init__.py:48-136). Each family contributes two small functions:
+a spec builder and a tensor-name mapping; the compute graph itself is the
+shared generic decoder in models/core.py.
+
+Layout conventions: our linear weights are [in, out] (activations are row
+vectors, `x @ W`), HF torch Linear stores [out, in] (transposed on load);
+HF GPT-2 Conv1D already stores [in, out].
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core import DecoderSpec
+from ..utils.weights import Weights
+
+
+def load_hf_config(model_dir: str) -> dict:
+    return json.loads((Path(model_dir) / "config.json").read_text())
+
+
+# ---------------------------------------------------------------------------
+# spec builders
+# ---------------------------------------------------------------------------
+
+
+def _llama_spec(c: dict) -> DecoderSpec:
+    heads = c["num_attention_heads"]
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=c.get("num_key_value_heads") or heads,
+        head_dim=c.get("head_dim") or c["hidden_size"] // heads,
+        intermediate_size=c["intermediate_size"],
+        pos="rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        rope_scaling=(c.get("rope_scaling") or {}).get("factor", 1.0),
+        max_position_embeddings=c.get("max_position_embeddings", 2048),
+        norm="rmsnorm",
+        norm_eps=c.get("rms_norm_eps", 1e-6),
+        activation="silu_glu",
+        tie_word_embeddings=c.get("tie_word_embeddings", False),
+    )
+
+
+def _gpt2_spec(c: dict) -> DecoderSpec:
+    d = c["n_embd"]
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c["n_layer"],
+        num_heads=c["n_head"],
+        num_kv_heads=c["n_head"],
+        head_dim=d // c["n_head"],
+        intermediate_size=c.get("n_inner") or 4 * d,
+        pos="learned",
+        max_position_embeddings=c["n_positions"],
+        norm="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        activation="gelu_tanh",
+        qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=True,
+    )
+
+
+def _bloom_spec(c: dict) -> DecoderSpec:
+    d = c.get("hidden_size") or c["n_embed"]
+    h = c.get("n_head") or c["num_attention_heads"]
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c.get("n_layer") or c["num_hidden_layers"],
+        num_heads=h,
+        num_kv_heads=h,
+        head_dim=d // h,
+        intermediate_size=4 * d,
+        pos="alibi",
+        norm="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        embed_norm=True,
+        activation="gelu_tanh",
+        qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=True,
+    )
+
+
+def _neox_spec(c: dict) -> DecoderSpec:
+    d = c["hidden_size"]
+    h = c["num_attention_heads"]
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c["num_hidden_layers"],
+        num_heads=h,
+        num_kv_heads=h,
+        head_dim=d // h,
+        intermediate_size=c["intermediate_size"],
+        pos="rope",
+        rope_theta=c.get("rotary_emb_base", 10000.0),
+        rotary_pct=c.get("rotary_pct", 1.0),
+        max_position_embeddings=c.get("max_position_embeddings", 2048),
+        norm="layernorm",
+        norm_eps=c.get("layer_norm_eps", 1e-5),
+        activation="gelu_tanh" if c.get("hidden_act", "gelu") in ("gelu_new", "gelu_fast") else "gelu",
+        parallel_residual=c.get("use_parallel_residual", True),
+        qkv_bias=c.get("attention_bias", True),
+        attn_out_bias=c.get("attention_bias", True),
+        mlp_bias=True,
+        tie_word_embeddings=False,
+    )
+
+
+def _falcon_spec(c: dict) -> DecoderSpec:
+    d = c["hidden_size"]
+    h = c["num_attention_heads"]
+    if c.get("new_decoder_architecture"):
+        kv = c.get("num_kv_heads", 8)
+    elif c.get("multi_query", True):
+        kv = 1
+    else:
+        kv = h
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c["num_hidden_layers"],
+        num_heads=h,
+        num_kv_heads=kv,
+        head_dim=d // h,
+        intermediate_size=4 * d,
+        pos="alibi" if c.get("alibi") else "rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        norm="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        activation="gelu",
+        parallel_residual=c.get("parallel_attn", True),
+        qkv_bias=c.get("bias", False),
+        attn_out_bias=c.get("bias", False),
+        mlp_bias=c.get("bias", False),
+        tie_word_embeddings=True,
+    )
+
+
+def _bigcode_spec(c: dict) -> DecoderSpec:
+    d = c["n_embd"]
+    h = c["n_head"]
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c["n_layer"],
+        num_heads=h,
+        num_kv_heads=1 if c.get("multi_query", True) else h,
+        head_dim=d // h,
+        intermediate_size=c.get("n_inner") or 4 * d,
+        pos="learned",
+        max_position_embeddings=c["n_positions"],
+        norm="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        activation="gelu_tanh",
+        qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint loaders
+# ---------------------------------------------------------------------------
+
+
+def _stack(arrs: list[np.ndarray], dtype) -> jnp.ndarray:
+    return jnp.asarray(np.stack(arrs), dtype=dtype)
+
+
+def _norm_stack(w: Weights, fmt: str, n_layers: int, dtype, bias: bool) -> dict:
+    p = {"scale": _stack([w.get(fmt.format(i=i) + ".weight") for i in range(n_layers)], dtype)}
+    if bias:
+        p["bias"] = _stack([w.get(fmt.format(i=i) + ".bias") for i in range(n_layers)], dtype)
+    return p
+
+
+def _load_llama(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L = s.num_layers
+    pre = "model.layers.{i}"
+    layers = {
+        "ln1": _norm_stack(w, pre + ".input_layernorm", L, dtype, False),
+        "ln2": _norm_stack(w, pre + ".post_attention_layernorm", L, dtype, False),
+        "wq": _stack([w.get(f"model.layers.{i}.self_attn.q_proj.weight").T for i in range(L)], dtype),
+        "wk": _stack([w.get(f"model.layers.{i}.self_attn.k_proj.weight").T for i in range(L)], dtype),
+        "wv": _stack([w.get(f"model.layers.{i}.self_attn.v_proj.weight").T for i in range(L)], dtype),
+        "wo": _stack([w.get(f"model.layers.{i}.self_attn.o_proj.weight").T for i in range(L)], dtype),
+        "w_gate": _stack([w.get(f"model.layers.{i}.mlp.gate_proj.weight").T for i in range(L)], dtype),
+        "w_up": _stack([w.get(f"model.layers.{i}.mlp.up_proj.weight").T for i in range(L)], dtype),
+        "w_down": _stack([w.get(f"model.layers.{i}.mlp.down_proj.weight").T for i in range(L)], dtype),
+    }
+    params = {
+        "embed_tokens": jnp.asarray(w.get("model.embed_tokens.weight"), dtype),
+        "layers": layers,
+        "final_norm": {"scale": jnp.asarray(w.get("model.norm.weight"), dtype)},
+    }
+    if not s.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(w.get("lm_head.weight").T, dtype)
+    return params
+
+
+def _split_fused_headmajor(qkv: np.ndarray, h: int, dh: int) -> tuple[np.ndarray, ...]:
+    """BLOOM/NeoX fused qkv layout: [(h, 3, dh), d_in] rows (reference:
+    bloom_modeling's per-head interleaving). Returns q/k/v as [d_in, h*dh]."""
+    d_in = qkv.shape[-1]
+    grouped = qkv.reshape(h, 3, dh, d_in)
+    return tuple(grouped[:, j].reshape(h * dh, d_in).T for j in range(3))
+
+
+def _split_fused_bias_headmajor(b: np.ndarray, h: int, dh: int) -> tuple[np.ndarray, ...]:
+    grouped = b.reshape(h, 3, dh)
+    return tuple(grouped[:, j].reshape(h * dh) for j in range(3))
+
+
+def _load_bloom(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L, H, Dh = s.num_layers, s.num_heads, s.head_dim
+    pre = "transformer.h.{i}"
+    qs, ks, vs, bqs, bks, bvs = [], [], [], [], [], []
+    for i in range(L):
+        q, k, v = _split_fused_headmajor(
+            w.get(f"transformer.h.{i}.self_attention.query_key_value.weight"), H, Dh)
+        bq, bk, bv = _split_fused_bias_headmajor(
+            w.get(f"transformer.h.{i}.self_attention.query_key_value.bias"), H, Dh)
+        qs.append(q); ks.append(k); vs.append(v)
+        bqs.append(bq); bks.append(bk); bvs.append(bv)
+    layers = {
+        "ln1": _norm_stack(w, pre + ".input_layernorm", L, dtype, True),
+        "ln2": _norm_stack(w, pre + ".post_attention_layernorm", L, dtype, True),
+        "wq": _stack(qs, dtype), "wk": _stack(ks, dtype), "wv": _stack(vs, dtype),
+        "bq": _stack(bqs, dtype), "bk": _stack(bks, dtype), "bv": _stack(bvs, dtype),
+        "wo": _stack([w.get(f"transformer.h.{i}.self_attention.dense.weight").T for i in range(L)], dtype),
+        "bo": _stack([w.get(f"transformer.h.{i}.self_attention.dense.bias") for i in range(L)], dtype),
+        "w_up": _stack([w.get(f"transformer.h.{i}.mlp.dense_h_to_4h.weight").T for i in range(L)], dtype),
+        "b_up": _stack([w.get(f"transformer.h.{i}.mlp.dense_h_to_4h.bias") for i in range(L)], dtype),
+        "w_down": _stack([w.get(f"transformer.h.{i}.mlp.dense_4h_to_h.weight").T for i in range(L)], dtype),
+        "b_down": _stack([w.get(f"transformer.h.{i}.mlp.dense_4h_to_h.bias") for i in range(L)], dtype),
+    }
+    return {
+        "embed_tokens": jnp.asarray(w.get("transformer.word_embeddings.weight"), dtype),
+        "embed_ln": {
+            "scale": jnp.asarray(w.get("transformer.word_embeddings_layernorm.weight"), dtype),
+            "bias": jnp.asarray(w.get("transformer.word_embeddings_layernorm.bias"), dtype),
+        },
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.asarray(w.get("transformer.ln_f.weight"), dtype),
+            "bias": jnp.asarray(w.get("transformer.ln_f.bias"), dtype),
+        },
+    }
+
+
+def _load_neox(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L, H, Dh = s.num_layers, s.num_heads, s.head_dim
+    pre = "gpt_neox.layers.{i}"
+    qs, ks, vs, bqs, bks, bvs = [], [], [], [], [], []
+    for i in range(L):
+        q, k, v = _split_fused_headmajor(
+            w.get(f"gpt_neox.layers.{i}.attention.query_key_value.weight"), H, Dh)
+        bq, bk, bv = _split_fused_bias_headmajor(
+            w.get(f"gpt_neox.layers.{i}.attention.query_key_value.bias"), H, Dh)
+        qs.append(q); ks.append(k); vs.append(v)
+        bqs.append(bq); bks.append(bk); bvs.append(bv)
+    layers = {
+        "ln1": _norm_stack(w, pre + ".input_layernorm", L, dtype, True),
+        "ln2": _norm_stack(w, pre + ".post_attention_layernorm", L, dtype, True),
+        "wq": _stack(qs, dtype), "wk": _stack(ks, dtype), "wv": _stack(vs, dtype),
+        "bq": _stack(bqs, dtype), "bk": _stack(bks, dtype), "bv": _stack(bvs, dtype),
+        "wo": _stack([w.get(f"gpt_neox.layers.{i}.attention.dense.weight").T for i in range(L)], dtype),
+        "bo": _stack([w.get(f"gpt_neox.layers.{i}.attention.dense.bias") for i in range(L)], dtype),
+        "w_up": _stack([w.get(f"gpt_neox.layers.{i}.mlp.dense_h_to_4h.weight").T for i in range(L)], dtype),
+        "b_up": _stack([w.get(f"gpt_neox.layers.{i}.mlp.dense_h_to_4h.bias") for i in range(L)], dtype),
+        "w_down": _stack([w.get(f"gpt_neox.layers.{i}.mlp.dense_4h_to_h.weight").T for i in range(L)], dtype),
+        "b_down": _stack([w.get(f"gpt_neox.layers.{i}.mlp.dense_4h_to_h.bias") for i in range(L)], dtype),
+    }
+    return {
+        "embed_tokens": jnp.asarray(w.get("gpt_neox.embed_in.weight"), dtype),
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.asarray(w.get("gpt_neox.final_layer_norm.weight"), dtype),
+            "bias": jnp.asarray(w.get("gpt_neox.final_layer_norm.bias"), dtype),
+        },
+        "lm_head": jnp.asarray(w.get("embed_out.weight").T, dtype),
+    }
+
+
+def _load_gpt2(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L, D = s.num_layers, s.hidden_size
+    pre = "h.{i}"
+    prefix = "" if w.has("wte.weight") else "transformer."
+
+    def g(name):
+        return w.get(prefix + name)
+
+    qs, ks, vs, bqs, bks, bvs = [], [], [], [], [], []
+    for i in range(L):
+        # Conv1D: [in, out]; q/k/v are contiguous blocks of the out axis
+        qkv = g(f"h.{i}.attn.c_attn.weight")
+        b = g(f"h.{i}.attn.c_attn.bias")
+        qs.append(qkv[:, :D]); ks.append(qkv[:, D:2 * D]); vs.append(qkv[:, 2 * D:])
+        bqs.append(b[:D]); bks.append(b[D:2 * D]); bvs.append(b[2 * D:])
+    layers = {
+        "ln1": {
+            "scale": _stack([g(f"h.{i}.ln_1.weight") for i in range(L)], dtype),
+            "bias": _stack([g(f"h.{i}.ln_1.bias") for i in range(L)], dtype),
+        },
+        "ln2": {
+            "scale": _stack([g(f"h.{i}.ln_2.weight") for i in range(L)], dtype),
+            "bias": _stack([g(f"h.{i}.ln_2.bias") for i in range(L)], dtype),
+        },
+        "wq": _stack(qs, dtype), "wk": _stack(ks, dtype), "wv": _stack(vs, dtype),
+        "bq": _stack(bqs, dtype), "bk": _stack(bks, dtype), "bv": _stack(bvs, dtype),
+        "wo": _stack([g(f"h.{i}.attn.c_proj.weight") for i in range(L)], dtype),
+        "bo": _stack([g(f"h.{i}.attn.c_proj.bias") for i in range(L)], dtype),
+        "w_up": _stack([g(f"h.{i}.mlp.c_fc.weight") for i in range(L)], dtype),
+        "b_up": _stack([g(f"h.{i}.mlp.c_fc.bias") for i in range(L)], dtype),
+        "w_down": _stack([g(f"h.{i}.mlp.c_proj.weight") for i in range(L)], dtype),
+        "b_down": _stack([g(f"h.{i}.mlp.c_proj.bias") for i in range(L)], dtype),
+    }
+    return {
+        "embed_tokens": jnp.asarray(g("wte.weight"), dtype),
+        "embed_positions": jnp.asarray(g("wpe.weight"), dtype),
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.asarray(g("ln_f.weight"), dtype),
+            "bias": jnp.asarray(g("ln_f.bias"), dtype),
+        },
+    }
+
+
+def _load_bigcode(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L, D, Dh, K = s.num_layers, s.hidden_size, s.head_dim, s.num_kv_heads
+    kv = K * Dh
+    prefix = "" if w.has("wte.weight") else "transformer."
+
+    def g(name):
+        return w.get(prefix + name)
+
+    qs, ks, vs, bqs, bks, bvs = [], [], [], [], [], []
+    for i in range(L):
+        # nn.Linear [out, in]: rows are [q (D) | k (kv) | v (kv)]
+        qkv = g(f"h.{i}.attn.c_attn.weight")
+        b = g(f"h.{i}.attn.c_attn.bias")
+        qs.append(qkv[:D].T); ks.append(qkv[D:D + kv].T); vs.append(qkv[D + kv:].T)
+        bqs.append(b[:D]); bks.append(b[D:D + kv]); bvs.append(b[D + kv:])
+    layers = {
+        "ln1": {
+            "scale": _stack([g(f"h.{i}.ln_1.weight") for i in range(L)], dtype),
+            "bias": _stack([g(f"h.{i}.ln_1.bias") for i in range(L)], dtype),
+        },
+        "ln2": {
+            "scale": _stack([g(f"h.{i}.ln_2.weight") for i in range(L)], dtype),
+            "bias": _stack([g(f"h.{i}.ln_2.bias") for i in range(L)], dtype),
+        },
+        "wq": _stack(qs, dtype), "wk": _stack(ks, dtype), "wv": _stack(vs, dtype),
+        "bq": _stack(bqs, dtype), "bk": _stack(bks, dtype), "bv": _stack(bvs, dtype),
+        "wo": _stack([g(f"h.{i}.attn.c_proj.weight").T for i in range(L)], dtype),
+        "bo": _stack([g(f"h.{i}.attn.c_proj.bias") for i in range(L)], dtype),
+        "w_up": _stack([g(f"h.{i}.mlp.c_fc.weight").T for i in range(L)], dtype),
+        "b_up": _stack([g(f"h.{i}.mlp.c_fc.bias") for i in range(L)], dtype),
+        "w_down": _stack([g(f"h.{i}.mlp.c_proj.weight").T for i in range(L)], dtype),
+        "b_down": _stack([g(f"h.{i}.mlp.c_proj.bias") for i in range(L)], dtype),
+    }
+    return {
+        "embed_tokens": jnp.asarray(g("wte.weight"), dtype),
+        "embed_positions": jnp.asarray(g("wpe.weight"), dtype),
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.asarray(g("ln_f.weight"), dtype),
+            "bias": jnp.asarray(g("ln_f.bias"), dtype),
+        },
+    }
+
+
+def _load_falcon(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L, H, K, Dh = s.num_layers, s.num_heads, s.num_kv_heads, s.head_dim
+    qs, ks, vs = [], [], []
+    for i in range(L):
+        qkv = w.get(f"transformer.h.{i}.self_attention.query_key_value.weight")
+        d_in = qkv.shape[-1]
+        if K == 1:
+            # multi_query: rows are [q (H*Dh) | k (Dh) | v (Dh)]
+            qs.append(qkv[: H * Dh].T)
+            ks.append(qkv[H * Dh: (H + 1) * Dh].T)
+            vs.append(qkv[(H + 1) * Dh:].T)
+        elif K == H:
+            q, k, v = _split_fused_headmajor(qkv, H, Dh)
+            qs.append(q); ks.append(k); vs.append(v)
+        else:
+            # new_decoder_architecture: [K groups of (H/K q heads + 1 k + 1 v)]
+            grouped = qkv.reshape(K, H // K + 2, Dh, d_in)
+            qs.append(grouped[:, :-2].reshape(H * Dh, d_in).T)
+            ks.append(grouped[:, -2].reshape(K * Dh, d_in).T)
+            vs.append(grouped[:, -1].reshape(K * Dh, d_in).T)
+    # falcon's parallel_attn shares one layernorm between attn and mlp
+    ln1 = _norm_stack(w, "transformer.h.{i}.input_layernorm", L, dtype, True)
+    layers = {
+        "ln1": ln1,
+        "ln2": {k_: v_.copy() for k_, v_ in ln1.items()},
+        "wq": _stack(qs, dtype), "wk": _stack(ks, dtype), "wv": _stack(vs, dtype),
+        "wo": _stack([w.get(f"transformer.h.{i}.self_attention.dense.weight").T for i in range(L)], dtype),
+        "w_up": _stack([w.get(f"transformer.h.{i}.mlp.dense_h_to_4h.weight").T for i in range(L)], dtype),
+        "w_down": _stack([w.get(f"transformer.h.{i}.mlp.dense_4h_to_h.weight").T for i in range(L)], dtype),
+    }
+    return {
+        "embed_tokens": jnp.asarray(w.get("transformer.word_embeddings.weight"), dtype),
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.asarray(w.get("transformer.ln_f.weight"), dtype),
+            "bias": jnp.asarray(w.get("transformer.ln_f.bias"), dtype),
+        },
+    }
+
+
+FAMILIES: dict[str, tuple[Callable[[dict], DecoderSpec], Callable]] = {
+    "llama": (_llama_spec, _load_llama),
+    "gpt2": (_gpt2_spec, _load_gpt2),
+    "bloom": (_bloom_spec, _load_bloom),
+    "gpt_neox": (_neox_spec, _load_neox),
+    "falcon": (_falcon_spec, _load_falcon),
+    "RefinedWeb": (_falcon_spec, _load_falcon),
+    "RefinedWebModel": (_falcon_spec, _load_falcon),
+    "gpt_bigcode": (_bigcode_spec, _load_bigcode),
+}
+
+
+def load_model(model_dir: str, dtype=jnp.bfloat16) -> tuple[DecoderSpec, dict]:
+    """Load (spec, params) for any supported decoder-only HF checkpoint."""
+    config = load_hf_config(model_dir)
+    model_type = config.get("model_type")
+    if model_type not in FAMILIES:
+        raise ValueError(
+            f"unsupported model_type {model_type!r}; supported: {sorted(FAMILIES)}")
+    spec_fn, load_fn = FAMILIES[model_type]
+    spec = spec_fn(config)
+    weights = Weights(model_dir)
+    params = load_fn(weights, spec, dtype)
+    return spec, params
