@@ -1,0 +1,102 @@
+"""Decode-throughput benchmark on the local accelerator.
+
+Runs the full engine decode step (model forward + vectorized sampling +
+state update) on a TinyLlama-1.1B-shaped bf16 model with all batch slots
+active, and reports output tokens/sec/chip.
+
+vs_baseline: the reference publishes no benchmark numbers (BASELINE.md), so
+the comparison point is the analytic speed-of-light for batch decode on this
+chip — decode is HBM-bandwidth-bound, so SOL steps/s = HBM_BW /
+(param_bytes + kv_bytes_read_per_step). A value of 1.0 means the chip's
+memory bandwidth is fully utilized.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from text_generation_inference_tpu.config import ServingConfig
+    from text_generation_inference_tpu.engine.engine import InferenceEngine, RequestParams
+    from text_generation_inference_tpu.models import core
+    from text_generation_inference_tpu.models.core import DecoderSpec
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+
+    if on_tpu:
+        # TinyLlama-1.1B shape (BASELINE.md measurement ladder step 2)
+        spec = DecoderSpec(
+            vocab_size=32000, hidden_size=2048, num_layers=22,
+            num_heads=32, num_kv_heads=4, head_dim=64,
+            intermediate_size=5632, pos="rope", norm="rmsnorm",
+            activation="silu_glu", norm_eps=1e-5)
+        num_slots, max_seq, dtype = 16, 1024, jnp.bfloat16
+        steps, warmup = 64, 8
+        hbm_bw = 819e9      # v5e ~819 GB/s
+    else:
+        spec = DecoderSpec(
+            vocab_size=1024, hidden_size=256, num_layers=4,
+            num_heads=8, num_kv_heads=4, head_dim=32,
+            intermediate_size=512, pos="rope", norm="rmsnorm",
+            activation="silu_glu")
+        num_slots, max_seq, dtype = 4, 128, jnp.float32
+        steps, warmup = 8, 2
+        hbm_bw = 50e9       # rough host-memory figure; CPU runs are smoke only
+
+    params = core.init_params(spec, jax.random.key(0), dtype=dtype)
+    config = ServingConfig(
+        max_sequence_length=max_seq, max_new_tokens=max_seq // 2,
+        max_batch_slots=num_slots,
+        prefill_buckets=[64, max_seq],
+    )
+    config.validate()
+    engine = InferenceEngine(spec, params, config, eos_token_id=2)
+
+    rng = np.random.default_rng(0)
+    prompt_len = 64
+    for slot in range(num_slots):
+        s = engine.acquire_slot()
+        engine.prefill(
+            [s], [rng.integers(0, spec.vocab_size, size=prompt_len).tolist()],
+            [RequestParams(max_new_tokens=max_seq - prompt_len)])
+
+    for _ in range(warmup):
+        engine.decode()
+    jax.block_until_ready(engine.cache.k)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        engine.decode()
+    jax.block_until_ready(engine.cache.k)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_s = steps / elapsed
+    tokens_per_s = steps_per_s * num_slots
+
+    # analytic speed-of-light: every decode step streams all params once plus
+    # the active KV prefix per slot
+    param_bytes = sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(params))
+    ctx = prompt_len + warmup + steps // 2
+    kv_bytes = (spec.num_layers * 2 * num_slots * ctx
+                * spec.num_kv_heads * spec.head_dim * np.dtype(dtype).itemsize)
+    sol_steps = hbm_bw / (param_bytes + kv_bytes)
+    sol_tokens = sol_steps * num_slots
+
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_per_chip",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_s / sol_tokens, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

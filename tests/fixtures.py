@@ -103,6 +103,58 @@ def tiny_falcon() -> str:
     return _save(FalconForCausalLM(cfg).eval(), "tiny_falcon")
 
 
+@functools.lru_cache(maxsize=None)
+def tiny_tokenizer_file() -> str:
+    """Train a tiny byte-level BPE tokenizer offline (vocab <= 256 so it can
+    drive the tiny fixture models)."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    out = FIXTURE_ROOT / "tiny_tokenizer.json"
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tok = Tokenizer(models.BPE(unk_token="<unk>"))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = decoders.ByteLevel()
+        trainer = trainers.BpeTrainer(
+            vocab_size=240, special_tokens=["<unk>", "<s>", "</s>"])
+        corpus = [
+            "hello world this is a test of the tokenizer library",
+            "the quick brown fox jumps over the lazy dog",
+            "testing one two three four five six seven eight nine ten",
+            "streaming text generation with stop sequences and tokens",
+            "café naïve résumé — unicode text üöä",
+        ] * 40
+        tok.train_from_iterator(corpus, trainer)
+        tok.save(str(out))
+    return str(out)
+
+
+@functools.lru_cache(maxsize=None)
+def tokenized_model_dir() -> str:
+    """Tiny llama whose vocab exactly matches the fixture tokenizer, with
+    tokenizer.json attached — for server-level tests where generated ids must
+    all be detokenizable."""
+    import shutil
+
+    from tokenizers import Tokenizer
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    tok_file = tiny_tokenizer_file()
+    vocab = Tokenizer.from_file(tok_file).get_vocab_size()
+    out = FIXTURE_ROOT / "tiny_llama_served"
+    if not (out / "config.json").exists():
+        torch.manual_seed(10)
+        cfg = LlamaConfig(
+            vocab_size=vocab, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-6,
+            tie_word_embeddings=False, eos_token_id=2, bos_token_id=1,
+        )
+        _save(LlamaForCausalLM(cfg).eval(), "tiny_llama_served")
+        shutil.copy(tok_file, out / "tokenizer.json")
+    return str(out)
+
+
 ALL_DECODER_FIXTURES = {
     "llama": tiny_llama,
     "gpt2": tiny_gpt2,

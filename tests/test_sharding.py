@@ -1,0 +1,77 @@
+"""Tensor-parallel correctness on the virtual 8-device CPU mesh.
+
+The reference tests TP with 2 CPU shard processes over gloo (reference:
+integration_tests/test_server.py:396-420); here a GSPMD mesh must produce
+bitwise-equivalent results to the single-device run.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from text_generation_inference_tpu.models import core
+from text_generation_inference_tpu.models.core import DecoderSpec, KVCache
+from text_generation_inference_tpu.parallel import sharding as shd
+
+SPEC = DecoderSpec(
+    vocab_size=512, hidden_size=128, num_layers=2, num_heads=8,
+    num_kv_heads=4, head_dim=16, intermediate_size=256,
+    pos="rope", norm="rmsnorm", activation="silu_glu",
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return core.init_params(SPEC, jax.random.key(0), dtype=jnp.float32)
+
+
+def _run(spec, params, cache):
+    ids = jnp.zeros((1, 16), jnp.int32).at[0, :6].set(
+        jnp.array([3, 1, 4, 1, 5, 9], jnp.int32))
+    logits, cache = core.prefill(
+        spec, params, ids, jnp.array([6], jnp.int32),
+        jnp.array([0], jnp.int32), cache)
+    dec_ids = jnp.array([7, 0], jnp.int32)
+    positions = jnp.array([6, 0], jnp.int32)
+    dlogits, cache = core.decode(
+        spec, params, dec_ids, positions, cache, context_len=positions + 1)
+    return np.asarray(logits[0, :6]), np.asarray(dlogits[0])
+
+
+class TestTensorParallel:
+    @pytest.mark.parametrize("model_parallel,data_parallel", [
+        (2, 1), (4, 1), (8, 1), (4, 2),
+    ])
+    def test_sharded_matches_single_device(self, params, model_parallel,
+                                           data_parallel):
+        ref_cache = KVCache.create(SPEC, 2, 32, jnp.float32)
+        ref_prefill, ref_decode = _run(SPEC, params, ref_cache)
+
+        mesh = shd.make_mesh(model_parallel=model_parallel,
+                             data_parallel=data_parallel)
+        specs = shd.param_specs(SPEC, params, mesh)
+        sharded = shd.shard_params(params, specs, mesh)
+        cache = shd.shard_cache(KVCache.create(SPEC, 2, 32, jnp.float32),
+                                SPEC, mesh)
+        got_prefill, got_decode = _run(SPEC, sharded, cache)
+
+        np.testing.assert_allclose(got_prefill, ref_prefill, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got_decode, ref_decode, rtol=1e-5, atol=1e-5)
+
+    def test_mqa_cache_falls_back_to_replicated(self):
+        mqa = DecoderSpec(
+            vocab_size=512, hidden_size=128, num_layers=2, num_heads=8,
+            num_kv_heads=1, head_dim=16, intermediate_size=256,
+            pos="learned", norm="layernorm", activation="gelu",
+            qkv_bias=True, attn_out_bias=True, mlp_bias=True,
+            max_position_embeddings=64, tie_word_embeddings=True)
+        mesh = shd.make_mesh(model_parallel=8)
+        assert shd.cache_spec(mqa, mesh) == P(None, None, None, None, None)
+        p = core.init_params(mqa, jax.random.key(1), dtype=jnp.float32)
+        specs = shd.param_specs(mqa, p, mesh)
+        # wk/wv out dim = 16, not divisible by 8 -> replicated
+        assert specs["layers"]["wk"] == P(None, None, None)
+        assert specs["layers"]["wq"] == P(None, None, "model")

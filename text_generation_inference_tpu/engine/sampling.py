@@ -60,17 +60,17 @@ class SlotSamplingParams(NamedTuple):
 
     @classmethod
     def empty(cls, num_slots: int) -> "SlotSamplingParams":
-        zf = jnp.zeros((num_slots,), jnp.float32)
-        zi = jnp.zeros((num_slots,), jnp.int32)
+        # NOTE: every field gets its own freshly-allocated array — sharing one
+        # buffer across fields breaks jit buffer donation ("donated twice")
         return cls(
-            temperature=zf,
-            top_k=zi,
+            temperature=jnp.zeros((num_slots,), jnp.float32),
+            top_k=jnp.zeros((num_slots,), jnp.int32),
             top_p=jnp.ones((num_slots,), jnp.float32),
             typical_p=jnp.ones((num_slots,), jnp.float32),
             repetition_penalty=jnp.ones((num_slots,), jnp.float32),
-            lp_start=zi,
-            lp_decay=zf,
-            min_new_tokens=zi,
+            lp_start=jnp.zeros((num_slots,), jnp.int32),
+            lp_decay=jnp.zeros((num_slots,), jnp.float32),
+            min_new_tokens=jnp.zeros((num_slots,), jnp.int32),
             seed=jnp.zeros((num_slots,), jnp.uint32),
         )
 

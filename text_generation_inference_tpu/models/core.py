@@ -107,11 +107,13 @@ class KVCache(NamedTuple):
 
 def init_params(spec: DecoderSpec, key: jax.Array, dtype=jnp.float32) -> dict:
     """Random-init parameter pytree (layer-stacked). Used for tests/benches."""
-    k_iter = iter(jax.random.split(key, 64))
+    counter = [0]
 
     def dense(shape, scale=None):
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
         scale = scale if scale is not None else 1.0 / math.sqrt(shape[0])
-        return (jax.random.normal(next(k_iter), shape, jnp.float32) * scale).astype(dtype)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
     L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size
     H, K, Dh = spec.num_heads, spec.num_kv_heads, spec.head_dim

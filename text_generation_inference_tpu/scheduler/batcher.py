@@ -1,0 +1,341 @@
+"""The continuous-batching loop.
+
+Single-controller equivalent of the reference's batching task + queue
+(reference: router/src/batcher.rs:399-570, router/src/queue.rs:236-461):
+
+  * admission: FIFO with bounded queue-jumping (entries waiting longer than
+    the 1s fairness cutoff cannot be jumped over, queue.rs:30-32), subject to
+    free engine slots and the prefill-padding-proportion limit;
+  * a waiting-tokens throttle + minimum add-on batch size ramp before
+    interrupting decode with a prefill (batcher.rs:459-471);
+  * per-token stopping-criteria evaluation in exactly the reference's order
+    (batcher.rs:757-784): time limit, min_new_tokens, EOS, max_new_tokens,
+    stop sequences;
+  * incremental detokenization + stream fan-out with stop-sequence hold-back.
+
+Engine steps run in a worker thread so the asyncio front-end stays live.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import math
+import time
+from collections import deque
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from ..config import ServingConfig
+from ..engine.engine import InferenceEngine, StepResult
+from ..utils import metrics
+from .request import GenRequest, StopReason, TokenRecord
+
+logger = logging.getLogger(__name__)
+
+# entries that have waited longer than this may not be jumped over
+# (reference: router/src/queue.rs:30-32)
+QUEUE_JUMP_CUTOFF_S = 1.0
+
+# minimum add-on batch size ramp divisor (reference: batcher.rs:464-471)
+MIN_ADDON_DIVISOR = 8
+
+
+class QueueFullError(Exception):
+    pass
+
+
+class Batcher:
+    def __init__(self, engine: InferenceEngine, tokenizer, config: ServingConfig,
+                 prompt_cache=None):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.config = config
+        self.prompt_cache = prompt_cache
+        self.queue: deque[GenRequest] = deque()
+        self.active: dict[int, GenRequest] = {}   # slot -> request
+        self._wake = asyncio.Event()
+        self._task: Optional[asyncio.Task] = None
+        self._stopping = False
+        self.steps_since_prefill = 0
+        self.healthy = True
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> None:
+        self._task = asyncio.get_running_loop().create_task(self.run())
+
+    async def stop(self) -> None:
+        self._stopping = True
+        self._wake.set()
+        if self._task:
+            await self._task
+
+    # -- submission ---------------------------------------------------------
+
+    def submit(self, req: GenRequest) -> None:
+        if len(self.queue) + len(self.active) >= self.config.max_concurrent_requests:
+            metrics.increment("tgi_request_failure", reason="conc_limit")
+            raise QueueFullError("too many requests in progress")
+        req.attach_loop(asyncio.get_running_loop())
+        self.queue.append(req)
+        metrics.gauge_set("tgi_queue_size", len(self.queue))
+        self._wake.set()
+
+    # -- admission ----------------------------------------------------------
+
+    def _padding_ok(self, lens: list[int]) -> bool:
+        if len(lens) <= 1:
+            return True
+        bucket = self.config.bucket_for(max(lens))
+        total = bucket * len(lens)
+        padding = total - sum(lens)
+        return padding / total <= self.config.max_prefill_padding
+
+    def _pick_prefill_batch(self) -> list[GenRequest]:
+        free = len(self.engine.free_slots)
+        if free == 0 or not self.queue:
+            return []
+        now = time.monotonic()
+        chosen: list[GenRequest] = []
+        lens: list[int] = []
+        for req in list(self.queue):
+            if len(chosen) >= free:
+                break
+            if req.cancelled:
+                continue
+            total_len = req.prefix_length + req.input_length
+            if self._padding_ok(lens + [total_len]):
+                chosen.append(req)
+                lens.append(total_len)
+            elif now - req.queue_time >= QUEUE_JUMP_CUTOFF_S:
+                # fairness: an old entry may not be jumped over
+                break
+        return chosen
+
+    def _should_prefill(self) -> Optional[list[GenRequest]]:
+        if not self.queue or not self.engine.free_slots:
+            return None
+        waited = self.steps_since_prefill >= self.config.max_waiting_tokens
+        min_size = 1
+        if self.active and not waited:
+            min_size = max(1, math.ceil(len(self.active) / MIN_ADDON_DIVISOR))
+        batch = self._pick_prefill_batch()
+        if len(batch) >= min_size:
+            return batch
+        return None
+
+    # -- main loop ----------------------------------------------------------
+
+    async def run(self) -> None:
+        loop = asyncio.get_running_loop()
+        while not self._stopping:
+            self._reap_cancelled_queued()
+            if not self.active and not self.queue:
+                self._wake.clear()
+                # nothing to do; wait for work
+                try:
+                    await asyncio.wait_for(self._wake.wait(), timeout=1.0)
+                except asyncio.TimeoutError:
+                    pass
+                continue
+
+            try:
+                batch = self._should_prefill()
+                if batch:
+                    await self._do_prefill(loop, batch)
+                elif self.active:
+                    await self._do_decode(loop)
+                else:
+                    # queued requests exist but none admissible right now
+                    await asyncio.sleep(0.001)
+                self.healthy = True
+            except Exception:
+                logger.exception("batching loop error; failing in-flight requests")
+                self.healthy = False
+                metrics.increment("tgi_batch_inference_failure", reason="error")
+                self._fail_all("internal inference error")
+
+    async def _do_prefill(self, loop, batch: list[GenRequest]) -> None:
+        slots = []
+        for req in batch:
+            slot = self.engine.acquire_slot()
+            assert slot is not None
+            req.slot = slot
+            req.begin(self.tokenizer)
+            self.active[slot] = req
+            self.queue.remove(req)
+        metrics.gauge_set("tgi_queue_size", len(self.queue))
+        want_details = any(r.options.input_tokens for r in batch)
+        t0 = time.monotonic()
+        result = await loop.run_in_executor(
+            None,
+            partial(
+                self.engine.prefill,
+                [r.slot for r in batch],
+                [r.input_ids for r in batch],
+                [r.params for r in batch],
+                want_prompt_details=want_details,
+            ),
+        )
+        metrics.observe("tgi_batch_inference_duration", time.monotonic() - t0,
+                        method="prefill")
+        self.steps_since_prefill = 0
+        metrics.gauge_set("tgi_batch_current_size", len(self.active))
+
+        if want_details:
+            self._emit_input_tokens(batch, result.prompt_details)
+        self._process_step({i: r for i, r in enumerate(batch)}, result.first_token)
+
+    async def _do_decode(self, loop) -> None:
+        t0 = time.monotonic()
+        step = await loop.run_in_executor(None, self.engine.decode)
+        metrics.observe("tgi_batch_inference_duration", time.monotonic() - t0,
+                        method="next_token")
+        self.steps_since_prefill += 1
+        self._process_step(
+            {slot: req for slot, req in list(self.active.items())}, step)
+
+    # -- token processing ---------------------------------------------------
+
+    def _make_record(self, req: GenRequest, step: StepResult, row: int) -> TokenRecord:
+        rec = TokenRecord(token_id=int(step.next_ids[row]))
+        opts = req.options
+        if opts.generated_tokens:
+            if opts.token_logprobs:
+                rec.logprob = float(step.logprob[row])
+            if opts.token_ranks:
+                rec.rank = int(step.rank[row])
+            if opts.top_n_tokens:
+                rec.top_tokens = self._top_n(
+                    step.top_ids[row], step.top_logprobs[row],
+                    step.top_scores[row], opts.top_n_tokens)
+        return rec
+
+    @staticmethod
+    def _top_n(top_ids, top_logprobs, top_scores, n: int) -> list[tuple[int, float]]:
+        """Select candidates >= the n-th highest score, capped at 4n entries
+        (reference: tokens.py:402-418)."""
+        n = min(n, len(top_ids))
+        nth = top_scores[n - 1]
+        out = []
+        for i in range(min(len(top_ids), 4 * n)):
+            if top_scores[i] < nth or top_scores[i] == -np.inf:
+                break
+            out.append((int(top_ids[i]), float(top_logprobs[i])))
+        return out
+
+    def _process_step(self, rows: dict[int, GenRequest], step: StepResult) -> None:
+        now = time.monotonic()
+        for row, req in rows.items():
+            tok_id = int(step.next_ids[row])
+            rec = self._make_record(req, step, row)
+            req.generated.append(rec)
+            delta = req.decoder.push(tok_id)
+            matched = req.stop_state.feed(delta) if delta else None
+
+            reason = self._check_stopping(req, tok_id, matched, now)
+            if reason == StopReason.NOT_FINISHED:
+                self._stream_progress(req, rec)
+            else:
+                req.stop_reason = reason
+                if matched is not None and reason == StopReason.STOP_SEQUENCE:
+                    req.matched_stop = matched
+                self._finish(req, rec)
+
+    def _check_stopping(self, req: GenRequest, tok_id: int, matched, now: float
+                        ) -> StopReason:
+        """Reference order (batcher.rs:757-784)."""
+        if req.cancelled:
+            return StopReason.CANCELLED
+        if req.deadline is not None and now > req.deadline and req.generated_count >= 1:
+            return StopReason.TIME_LIMIT
+        if req.generated_count < req.stopping.min_new_tokens:
+            return StopReason.NOT_FINISHED
+        if tok_id == self.engine.eos_token_id:
+            return StopReason.EOS_TOKEN
+        if req.generated_count >= req.stopping.max_new_tokens:
+            return (StopReason.TOKEN_LIMIT if req.stopping.max_is_token_limit
+                    else StopReason.MAX_TOKENS)
+        if matched is not None:
+            return StopReason.STOP_SEQUENCE
+        return StopReason.NOT_FINISHED
+
+    # -- responses ----------------------------------------------------------
+
+    def _emit_input_tokens(self, batch: list[GenRequest], details) -> None:
+        for i, req in enumerate(batch):
+            if not req.options.input_tokens:
+                continue
+            d = details[i]
+            records = []
+            for j in range(len(d["logprob"])):
+                rec = TokenRecord(token_id=int(req.input_ids[j]))
+                if req.options.token_logprobs:
+                    rec.logprob = float(d["logprob"][j])
+                if req.options.token_ranks:
+                    rec.rank = int(d["rank"][j])
+                if req.options.top_n_tokens and j > 0:
+                    rec.top_tokens = self._top_n(
+                        d["top_ids"][j], d["top_logprobs"][j],
+                        d["top_scores"][j], req.options.top_n_tokens)
+                records.append(rec)
+            req.input_token_records = records
+            if req.streaming and req.stream_queue is not None:
+                req.stream_queue.put_nowait(("input_tokens", records))
+
+    def _stream_progress(self, req: GenRequest, rec: TokenRecord) -> None:
+        if not req.streaming or req.stream_queue is None:
+            return
+        text = req.unstreamed_text(final=False)
+        req.stream_queue.put_nowait(("token", rec, text))
+
+    def _finish(self, req: GenRequest, last_rec: Optional[TokenRecord]) -> None:
+        # flush any held detokenizer state into the stop matcher
+        if req.decoder is not None and req.stop_state is not None:
+            tail = req.decoder.flush()
+            if tail:
+                m = req.stop_state.feed(tail)
+                if m is not None and req.stop_reason == StopReason.STOP_SEQUENCE \
+                        and req.matched_stop is None:
+                    req.matched_stop = m
+        if req.slot is not None:
+            self.engine.free(req.slot)
+            self.active.pop(req.slot, None)
+            req.slot = None
+        metrics.increment("tgi_request_count")
+        metrics.observe("tgi_request_generated_tokens", req.generated_count)
+        if req.stop_reason == StopReason.CANCELLED:
+            metrics.increment("tgi_request_cancelled")
+
+        if req.streaming and req.stream_queue is not None:
+            final_text = req.unstreamed_text(final=True)
+            req.stream_queue.put_nowait(("final", last_rec, final_text, req.stop_reason))
+        if req.result_future is not None and not req.result_future.done():
+            req.result_future.set_result(req)
+
+    def _reap_cancelled_queued(self) -> None:
+        if not self.queue:
+            return
+        keep = deque()
+        for req in self.queue:
+            if req.cancelled:
+                req.stop_reason = StopReason.CANCELLED
+                if req.result_future is not None and not req.result_future.done():
+                    req.result_future.set_result(req)
+            else:
+                keep.append(req)
+        self.queue = keep
+
+    def _fail_all(self, message: str) -> None:
+        for slot, req in list(self.active.items()):
+            req.error = message
+            req.stop_reason = StopReason.ERROR
+            self.engine.free(slot)
+            if req.streaming and req.stream_queue is not None:
+                req.stream_queue.put_nowait(("final", None, "", StopReason.ERROR))
+            if req.result_future is not None and not req.result_future.done():
+                req.result_future.set_result(req)
+        self.active.clear()

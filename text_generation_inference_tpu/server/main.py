@@ -1,0 +1,88 @@
+"""Serving entrypoint: load model → build engine → start batcher + servers.
+
+The reference splits this across a Rust launcher, a Rust router, and N
+python shard processes (reference: launcher/src/main.rs:98-420,
+router/src/server.rs:266-313). With a single-controller JAX engine the whole
+boot is one process: no shard readiness handshake, no UDS fan-out, no
+cross-process env contract.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import signal
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ServingConfig
+from ..engine.engine import InferenceEngine
+from ..models import families
+from ..scheduler.batcher import Batcher
+from ..utils.tokenization import ServingTokenizer
+from .grpc_server import GenerationServicer, serve_grpc
+from .http_server import serve_http
+
+logger = logging.getLogger(__name__)
+
+DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+    "float32": jnp.float32,
+}
+
+
+def build_engine(config: ServingConfig):
+    dtype = DTYPES[config.dtype_str]
+    logger.info("loading model %s (dtype=%s)", config.model_name, config.dtype_str)
+    spec, params = families.load_model(config.model_name, dtype=dtype)
+    tokenizer = ServingTokenizer.load(config.model_name)
+    eos = tokenizer.eos_token_id
+    if eos is None:
+        raise ValueError("cannot determine eos_token_id for model")
+    engine = InferenceEngine(spec, params, config, eos_token_id=eos)
+    return engine, tokenizer
+
+
+async def async_serve(config: ServingConfig) -> None:
+    engine, tokenizer = build_engine(config)
+    prompt_cache = None
+    if config.prefix_store_path:
+        from ..utils.prompt_cache import PrefixCache
+
+        prompt_cache = PrefixCache(
+            config.prefix_store_path,
+            embed_dim=engine.spec.hidden_size,
+            max_size_mb=config.prompt_cache_size_mb,
+            max_prefix_length=config.max_prompt_prefix_length,
+        )
+    batcher = Batcher(engine, tokenizer, config, prompt_cache=prompt_cache)
+    batcher.start()
+
+    servicer = GenerationServicer(config, tokenizer, batcher)
+    grpc_server = await serve_grpc(servicer, config)
+    http_server = await serve_http(batcher, config.http_port)
+
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+        except NotImplementedError:
+            pass
+    logger.info("serving model=%s on gRPC :%d HTTP :%d (slots=%d, max_seq=%d)",
+                config.model_name, config.grpc_port, config.http_port,
+                config.max_batch_slots, config.max_sequence_length)
+    await stop.wait()
+    logger.info("shutting down")
+    await grpc_server.stop(grace=5.0)
+    http_server.close()
+    await batcher.stop()
+
+
+def serve(config: ServingConfig) -> None:
+    logging.basicConfig(
+        level=getattr(logging, config.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s %(message)s")
+    asyncio.run(async_serve(config))
