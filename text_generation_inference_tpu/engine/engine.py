@@ -45,7 +45,8 @@ class EngineState(NamedTuple):
 
     history: jax.Array      # [S, T] i32: prompt + generated token ids
     history_len: jax.Array  # [S] i32: valid ids in history
-    input_len: jax.Array    # [S] i32: prompt length
+    hist_start: jax.Array   # [S] i32: first real token (after soft prompt)
+    input_len: jax.Array    # [S] i32: prompt length (incl. prefix positions)
     gen_count: jax.Array    # [S] i32: generated tokens so far
     active: jax.Array       # [S] bool
     params: SlotSamplingParams
@@ -55,6 +56,7 @@ class EngineState(NamedTuple):
         return cls(
             history=jnp.zeros((num_slots, max_seq), jnp.int32),
             history_len=jnp.ones((num_slots,), jnp.int32),
+            hist_start=jnp.zeros((num_slots,), jnp.int32),
             input_len=jnp.ones((num_slots,), jnp.int32),
             gen_count=jnp.zeros((num_slots,), jnp.int32),
             active=jnp.zeros((num_slots,), jnp.bool_),
@@ -109,7 +111,7 @@ def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
         spec, params, ids, pos, cache, context_len=pos + 1)
     next_ids, details = sampling.next_tokens(
         logits, state.params, state.gen_count, state.history,
-        state.history_len, eos_id)
+        state.history_len, eos_id, history_start=state.hist_start)
     active = state.active
     write_pos = jnp.clip(state.history_len, 0, t_max - 1)
     new_hist = state.history.at[rows, write_pos].set(
@@ -125,15 +127,16 @@ def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
 def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
                   params: dict, cache: KVCache, state: EngineState,
                   ids: jax.Array,        # [N, B] right-padded bucket
-                  lengths: jax.Array,    # [N]
+                  lengths: jax.Array,    # [N] total lengths (prefix + prompt)
                   slots: jax.Array,      # [N]
-                  prefix_embeds: Optional[jax.Array] = None,  # [N, B, D]
-                  prefix_len: Optional[jax.Array] = None):    # [N]
+                  prefix_len: jax.Array,                      # [N] i32
+                  prefix_embeds: Optional[jax.Array] = None): # [N, B, D]
     n, b = ids.shape
     t_max = state.history.shape[1]
     logits_all, cache = core.prefill(
         spec, params, ids, lengths, slots, cache,
-        prefix_embeds=prefix_embeds, prefix_len=prefix_len)
+        prefix_embeds=prefix_embeds,
+        prefix_len=prefix_len if prefix_embeds is not None else None)
     rows = jnp.arange(n)
     last_logits = logits_all[rows, lengths - 1]          # [N, V]
 
@@ -142,7 +145,7 @@ def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
         last_logits, req_params,
         gen_count=jnp.zeros((n,), jnp.int32),
         token_history=ids, history_len=lengths,
-        eos_token_id=eos_id)
+        eos_token_id=eos_id, history_start=prefix_len)
 
     # install prompt + first token into the slot state
     hist = state.history
@@ -152,6 +155,7 @@ def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
     state = state._replace(
         history=hist,
         history_len=state.history_len.at[slots].set(lengths + 1),
+        hist_start=state.hist_start.at[slots].set(prefix_len),
         input_len=state.input_len.at[slots].set(lengths),
         gen_count=state.gen_count.at[slots].set(1),
         active=state.active.at[slots].set(True),
@@ -216,8 +220,9 @@ class InferenceEngine:
 
     # -- steps -------------------------------------------------------------
 
-    def _get_prefill_fn(self, n: int, bucket: int, want_details: bool):
-        key = (n, bucket, want_details)
+    def _get_prefill_fn(self, n: int, bucket: int, want_details: bool,
+                        has_prefix: bool = False):
+        key = (n, bucket, want_details, has_prefix)
         fn = self._prefill_fns.get(key)
         if fn is None:
             fn = jax.jit(
@@ -249,26 +254,45 @@ class InferenceEngine:
         token_ids: list[list[int]],
         request_params: list[RequestParams],
         want_prompt_details: bool = False,
+        prefix_embeds: Optional[list[Optional[np.ndarray]]] = None,
     ) -> PrefillResult:
-        """Prefill one or more prompts into their slots; returns first tokens."""
+        """Prefill one or more prompts into their slots; returns first tokens.
+
+        `prefix_embeds[i]`, when given, is a [P_i, hidden] float array of
+        soft-prompt embeddings prepended to request i's tokens
+        (reference: causal_lm.py:175-191 prompt-prefix injection).
+        """
         n = len(slots)
         assert n == len(token_ids) == len(request_params)
         for slot, rp in zip(slots, request_params):
             self.set_request_params(slot, rp)
-        max_len = max(len(t) for t in token_ids)
-        bucket = self.config.bucket_for(max_len)
+        pe_list = prefix_embeds or [None] * n
+        prefix_lens = [0 if pe is None else int(pe.shape[0]) for pe in pe_list]
+        total_lens = [p + len(t) for p, t in zip(prefix_lens, token_ids)]
+        bucket = self.config.bucket_for(max(total_lens))
         ids = np.zeros((n, bucket), np.int32)
-        lengths = np.zeros((n,), np.int32)
+        lengths = np.asarray(total_lens, np.int32)
         for i, toks in enumerate(token_ids):
-            ids[i, : len(toks)] = toks
-            lengths[i] = len(toks)
+            ids[i, prefix_lens[i]: prefix_lens[i] + len(toks)] = toks
+        has_prefix = any(prefix_lens)
+        embeds_arg = None
+        if has_prefix:
+            dim = self.spec.hidden_size
+            embeds = np.zeros((n, bucket, dim), np.float32)
+            for i, pe in enumerate(pe_list):
+                if pe is not None:
+                    embeds[i, : pe.shape[0]] = pe
+            embeds_arg = jnp.asarray(embeds)
 
-        fn = self._get_prefill_fn(n, bucket, want_prompt_details)
+        fn = self._get_prefill_fn(n, bucket, want_prompt_details, has_prefix)
         t0 = time.monotonic_ns()
-        self.cache, self.state, next_ids, details, pdet = fn(
-            self.model_params, self.cache, self.state,
-            jnp.asarray(ids), jnp.asarray(lengths),
-            jnp.asarray(slots, jnp.int32))
+        args = [self.model_params, self.cache, self.state,
+                jnp.asarray(ids), jnp.asarray(lengths),
+                jnp.asarray(slots, jnp.int32),
+                jnp.asarray(prefix_lens, jnp.int32)]
+        if has_prefix:
+            args.append(embeds_arg)
+        self.cache, self.state, next_ids, details, pdet = fn(*args)
         step = StepResult(
             next_ids=np.asarray(next_ids),
             logprob=np.asarray(details.logprob),
@@ -283,13 +307,19 @@ class InferenceEngine:
         if want_prompt_details:
             prompt_details = []
             for i in range(n):
-                ln = int(lengths[i])
+                s, e = prefix_lens[i], total_lens[i]
+                lp = np.asarray(pdet.logprob)[i, s:e].copy()
+                rk = np.asarray(pdet.rank)[i, s:e].copy()
+                # the first *prompt* token never reports a prediction, even
+                # behind a soft prompt (reference: tokens.py:441-449)
+                lp[0] = np.nan
+                rk[0] = 0
                 prompt_details.append({
-                    "logprob": np.asarray(pdet.logprob)[i, :ln],
-                    "rank": np.asarray(pdet.rank)[i, :ln],
-                    "top_ids": np.asarray(pdet.top_ids)[i, :ln],
-                    "top_logprobs": np.asarray(pdet.top_logprobs)[i, :ln],
-                    "top_scores": np.asarray(pdet.top_scores)[i, :ln],
+                    "logprob": lp,
+                    "rank": rk,
+                    "top_ids": np.asarray(pdet.top_ids)[i, s:e],
+                    "top_logprobs": np.asarray(pdet.top_logprobs)[i, s:e],
+                    "top_scores": np.asarray(pdet.top_scores)[i, s:e],
                 })
         return PrefillResult(first_token=step, prompt_details=prompt_details)
 

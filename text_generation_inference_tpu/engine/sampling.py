@@ -32,7 +32,7 @@ batch-size-1 (the reference's canonical case) is identical.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -138,18 +138,21 @@ def apply_repetition_penalty(
     token_history: jax.Array, # [N, T] i32: input + generated ids per row
     history_len: jax.Array,   # [N] i32: number of valid ids per row
     penalty: jax.Array,       # [N] f32; 1.0 => no-op
+    history_start: Optional[jax.Array] = None,  # [N] i32: skip ids before this
 ) -> jax.Array:
     """CTRL-style repetition penalty over all previously seen tokens.
 
     Reference: logits_process.py:112-134 — negative scores are multiplied by
     the penalty, positive ones divided, so the probability always decreases.
+    `history_start` masks out soft-prompt placeholder positions (prefix
+    embeddings have no token ids, reference passes only real input_ids).
     """
     n, v = scores.shape
     t = token_history.shape[1]
-    valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, t), 1)
-        < history_len[:, None]
-    )
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, t), 1)
+    valid = pos < history_len[:, None]
+    if history_start is not None:
+        valid &= pos >= history_start[:, None]
     ids_safe = jnp.where(valid, token_history, 0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, t), 0)
     seen = (
@@ -298,6 +301,7 @@ def next_tokens(
     token_history: jax.Array,   # [N, T] i32
     history_len: jax.Array,     # [N] i32
     eos_token_id: int,
+    history_start: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, TokenDetails]:
     """Full next-token pipeline. Returns (next_ids [N], details)."""
     scores = logits.astype(jnp.float32)
@@ -305,7 +309,8 @@ def next_tokens(
         scores, gen_count, params.min_new_tokens, params.lp_start,
         params.lp_decay, eos_token_id)
     scores = apply_repetition_penalty(
-        scores, token_history, history_len, params.repetition_penalty)
+        scores, token_history, history_len, params.repetition_penalty,
+        history_start)
     warped = apply_warpers(
         scores, params.temperature, params.top_k, params.top_p, params.typical_p)
     do_sample = params.temperature != 0.0

@@ -169,6 +169,11 @@ class Batcher:
             self.queue.remove(req)
         metrics.gauge_set("tgi_queue_size", len(self.queue))
         want_details = any(r.options.input_tokens for r in batch)
+        prefix_embeds = None
+        if any(r.prefix_id for r in batch):
+            prefix_embeds = [
+                self.prompt_cache.get(r.prefix_id) if r.prefix_id else None
+                for r in batch]
         t0 = time.monotonic()
         result = await loop.run_in_executor(
             None,
@@ -178,6 +183,7 @@ class Batcher:
                 [r.input_ids for r in batch],
                 [r.params for r in batch],
                 want_prompt_details=want_details,
+                prefix_embeds=prefix_embeds,
             ),
         )
         metrics.observe("tgi_batch_inference_duration", time.monotonic() - t0,
