@@ -1,0 +1,118 @@
+"""T5 encoder-decoder correctness vs HF transformers."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from text_generation_inference_tpu.models import t5
+from text_generation_inference_tpu.utils.weights import Weights
+from tests import fixtures
+
+RTOL, ATOL = 3e-4, 3e-4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import functools
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    torch.manual_seed(6)
+    cfg = T5Config(
+        vocab_size=256, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+        num_decoder_layers=3, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=32, feed_forward_proj="gated-gelu",
+        tie_word_embeddings=False, dropout_rate=0.0,
+        decoder_start_token_id=0, eos_token_id=1, pad_token_id=0,
+    )
+    model = T5ForConditionalGeneration(cfg).eval()
+    model_dir = fixtures._save(model, "tiny_t5")
+    spec = t5.spec_from_hf_config(
+        __import__("json").loads(
+            (fixtures.FIXTURE_ROOT / "tiny_t5" / "config.json").read_text()))
+    params = t5.load_params(Weights(model_dir), spec, jnp.float32)
+    return model, spec, params
+
+
+def hf_forward(model, enc_ids, dec_ids):
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(enc_ids.astype(np.int64)),
+            decoder_input_ids=torch.tensor(dec_ids.astype(np.int64)))
+    return out.logits.float().numpy()
+
+
+def test_encoder_matches_hf(setup):
+    model, spec, params = setup
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 256, size=(1, 7)).astype(np.int32)
+    padded = np.zeros((1, 12), np.int32)
+    padded[:, :7] = ids
+    enc = t5.encode(spec, params, jnp.asarray(padded),
+                    jnp.asarray([7], jnp.int32))
+    with torch.no_grad():
+        ref = model.encoder(torch.tensor(ids.astype(np.int64)))[0].numpy()
+    np.testing.assert_allclose(np.asarray(enc)[0, :7], ref[0],
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_decoder_prefill_matches_hf(setup):
+    model, spec, params = setup
+    rng = np.random.default_rng(1)
+    enc_ids = rng.integers(0, 256, size=(1, 6)).astype(np.int32)
+    dec_ids = np.concatenate(
+        [[0], rng.integers(0, 256, size=4)]).astype(np.int32)[None]
+    ref = hf_forward(model, enc_ids, dec_ids)
+
+    enc_padded = np.zeros((1, 8), np.int32)
+    enc_padded[:, :6] = enc_ids
+    enc_states = t5.encode(spec, params, jnp.asarray(enc_padded),
+                           jnp.asarray([6], jnp.int32))
+    state = t5.T5DecodeState.create(spec, 2, max_dec=16, max_enc=8,
+                                    dtype=jnp.float32)
+    dec_padded = np.zeros((1, 8), np.int32)
+    dec_padded[:, :5] = dec_ids
+    logits, state = t5.decoder_prefill(
+        spec, params, jnp.asarray(dec_padded), jnp.asarray([5], jnp.int32),
+        enc_states, jnp.asarray([6], jnp.int32), jnp.asarray([0], jnp.int32),
+        state)
+    np.testing.assert_allclose(np.asarray(logits)[0, :5], ref[0],
+                               rtol=RTOL, atol=ATOL)
+
+
+def test_incremental_decode_matches_hf(setup):
+    model, spec, params = setup
+    rng = np.random.default_rng(2)
+    enc_ids = rng.integers(0, 256, size=(1, 5)).astype(np.int32)
+    dec_full = np.concatenate(
+        [[0], rng.integers(0, 256, size=6)]).astype(np.int32)[None]
+    ref = hf_forward(model, enc_ids, dec_full)
+
+    num_slots, slot = 3, 1
+    enc_padded = np.zeros((1, 8), np.int32)
+    enc_padded[:, :5] = enc_ids
+    # state covers every slot; encoder states padded into the slot row
+    state = t5.T5DecodeState.create(spec, num_slots, max_dec=16, max_enc=8,
+                                    dtype=jnp.float32)
+    enc_states = t5.encode(spec, params, jnp.asarray(enc_padded),
+                           jnp.asarray([5], jnp.int32))
+    dec_start = np.zeros((1, 4), np.int32)
+    dec_start[0, 0] = 0
+    logits, state = t5.decoder_prefill(
+        spec, params, jnp.asarray(dec_start), jnp.asarray([1], jnp.int32),
+        enc_states, jnp.asarray([5], jnp.int32),
+        jnp.asarray([slot], jnp.int32), state)
+    np.testing.assert_allclose(np.asarray(logits)[0, 0], ref[0, 0],
+                               rtol=RTOL, atol=ATOL)
+
+    for pos in range(1, 7):
+        ids = np.zeros((num_slots,), np.int32)
+        ids[slot] = dec_full[0, pos]
+        positions = np.zeros((num_slots,), np.int32)
+        positions[slot] = pos
+        logits, state = t5.decoder_step(
+            spec, params, jnp.asarray(ids), jnp.asarray(positions), state)
+        np.testing.assert_allclose(
+            np.asarray(logits)[slot], ref[0, pos], rtol=RTOL, atol=ATOL,
+            err_msg=f"t5 decode mismatch at position {pos}")
