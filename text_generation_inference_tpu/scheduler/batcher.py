@@ -191,7 +191,7 @@ class Batcher:
         self.steps_since_prefill = 0
         metrics.gauge_set("tgi_batch_current_size", len(self.active))
 
-        if want_details:
+        if want_details and result.prompt_details is not None:
             self._emit_input_tokens(batch, result.prompt_details)
         self._process_step({i: r for i, r in enumerate(batch)}, result.first_token)
 

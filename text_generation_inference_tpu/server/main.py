@@ -34,33 +34,51 @@ DTYPES = {
 
 
 def build_engine(config: ServingConfig):
+    """Returns (engine, tokenizer, model_kind); dispatches decoder-only vs
+    encoder-decoder (the reference's get_model dispatch,
+    models/__init__.py:48-136)."""
     dtype = DTYPES[config.dtype_str]
     logger.info("loading model %s (dtype=%s)", config.model_name, config.dtype_str)
-    spec, params = families.load_model(config.model_name, dtype=dtype)
+    hf_config = families.load_hf_config(config.model_name)
     tokenizer = ServingTokenizer.load(config.model_name)
     eos = tokenizer.eos_token_id
     if eos is None:
+        eos = hf_config.get("eos_token_id")
+    if eos is None:
         raise ValueError("cannot determine eos_token_id for model")
+
+    if hf_config.get("model_type") in ("t5", "mt5", "umt5"):
+        from ..engine.seq2seq import Seq2SeqEngine
+        from ..models import t5 as t5_mod
+        from ..utils.weights import Weights
+
+        spec = t5_mod.spec_from_hf_config(hf_config)
+        params = t5_mod.load_params(Weights(config.model_name), spec, dtype)
+        engine = Seq2SeqEngine(spec, params, config, eos_token_id=eos)
+        return engine, tokenizer, "encoder_decoder"
+
+    spec, params = families.load_model(config.model_name, dtype=dtype)
     engine = InferenceEngine(spec, params, config, eos_token_id=eos)
-    return engine, tokenizer
+    return engine, tokenizer, "decoder"
 
 
 async def async_serve(config: ServingConfig) -> None:
-    engine, tokenizer = build_engine(config)
+    engine, tokenizer, model_kind = build_engine(config)
     prompt_cache = None
     if config.prefix_store_path:
         from ..utils.prompt_cache import PrefixCache
 
+        embed_dim = getattr(engine.spec, "hidden_size", None) or engine.spec.d_model
         prompt_cache = PrefixCache(
             config.prefix_store_path,
-            embed_dim=engine.spec.hidden_size,
+            embed_dim=embed_dim,
             max_size_mb=config.prompt_cache_size_mb,
             max_prefix_length=config.max_prompt_prefix_length,
         )
     batcher = Batcher(engine, tokenizer, config, prompt_cache=prompt_cache)
     batcher.start()
 
-    servicer = GenerationServicer(config, tokenizer, batcher)
+    servicer = GenerationServicer(config, tokenizer, batcher, model_kind=model_kind)
     grpc_server = await serve_grpc(servicer, config)
     http_server = await serve_http(batcher, config.http_port)
 
