@@ -1,0 +1,62 @@
+"""Pallas kernel correctness in interpreter mode (CPU).
+
+Real-TPU runs are covered by bench/perf scripts; interpret mode validates
+the kernel math (online softmax, masking, block clamping) device-free.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_generation_inference_tpu.ops.pallas import decode_attention as da
+
+
+def make_inputs(s=4, kh=2, g=4, d=64, t=512, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(s, kh, g, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(s, kh, t, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(s, kh, t, d)), dtype)
+    ctx = jnp.asarray(rng.integers(1, t + 1, size=(s,)), jnp.int32)
+    return q, k, v, ctx
+
+
+class TestDecodeAttention:
+    def test_matches_reference(self):
+        q, k, v, ctx = make_inputs()
+        ref = da.decode_attention_reference(q, k, v, ctx)
+        got = da.decode_attention(q, k, v, ctx, block_t=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_short_contexts(self):
+        q, k, v, _ = make_inputs(t=512)
+        ctx = jnp.asarray([1, 2, 3, 130], jnp.int32)
+        ref = da.decode_attention_reference(q, k, v, ctx)
+        got = da.decode_attention(q, k, v, ctx, block_t=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_full_context(self):
+        q, k, v, _ = make_inputs(t=256)
+        ctx = jnp.full((4,), 256, jnp.int32)
+        ref = da.decode_attention_reference(q, k, v, ctx)
+        got = da.decode_attention(q, k, v, ctx, block_t=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_block_not_dividing_t(self):
+        q, k, v, ctx = make_inputs(t=384, seed=3)
+        ref = da.decode_attention_reference(q, k, v, ctx)
+        got = da.decode_attention(q, k, v, ctx, block_t=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bf16(self):
+        q, k, v, ctx = make_inputs(dtype=jnp.bfloat16, seed=5)
+        ref = da.decode_attention_reference(q, k, v, ctx)
+        got = da.decode_attention(q, k, v, ctx, block_t=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
