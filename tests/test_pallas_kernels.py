@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from text_generation_inference_tpu.ops.pallas import decode_attention as da
+from text_generation_inference_tpu.ops.pallas import flash_prefill as fp
 
 
 def make_inputs(s=4, kh=2, g=4, d=64, t=512, seed=0, dtype=jnp.float32):
@@ -60,3 +61,43 @@ class TestDecodeAttention:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+def make_prefill_inputs(n=2, t=256, kh=2, g=4, d=64, seed=0,
+                        dtype=jnp.float32, lengths=None):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(n, t, kh, g, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(n, t, kh, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(n, t, kh, d)), dtype)
+    if lengths is None:
+        lengths = rng.integers(1, t + 1, size=(n,))
+    lengths = jnp.asarray(lengths, jnp.int32)
+    return q, k, v, lengths
+
+
+class TestFlashPrefill:
+    def check(self, q, k, v, lengths, **kw):
+        ref = fp.flash_prefill_reference(q, k, v, lengths)
+        got = fp.flash_prefill(q, k, v, lengths, interpret=True, **kw)
+        # only positions within each row's true length are meaningful
+        for i, ln in enumerate(np.asarray(lengths)):
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32)[i, :ln],
+                np.asarray(ref, np.float32)[i, :ln],
+                rtol=2e-5, atol=2e-5)
+
+    def test_full_lengths(self):
+        q, k, v, lengths = make_prefill_inputs(lengths=[256, 256])
+        self.check(q, k, v, lengths)
+
+    def test_ragged_lengths(self):
+        q, k, v, lengths = make_prefill_inputs(lengths=[100, 17], seed=2)
+        self.check(q, k, v, lengths)
+
+    def test_block_not_dividing(self):
+        q, k, v, lengths = make_prefill_inputs(t=192, lengths=[192, 50], seed=3)
+        self.check(q, k, v, lengths, block_q=128, block_k=128)
+
+    def test_small_blocks(self):
+        q, k, v, lengths = make_prefill_inputs(t=128, lengths=[128, 64], seed=4)
+        self.check(q, k, v, lengths, block_q=32, block_k=64)

@@ -121,7 +121,7 @@ def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
         history_len=state.history_len + active.astype(jnp.int32),
         gen_count=state.gen_count + active.astype(jnp.int32),
     )
-    return cache, state, next_ids, details
+    return cache, state, sampling.pack_step_outputs(next_ids, details)
 
 
 def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
@@ -166,7 +166,7 @@ def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
         )(logits_all, ids)
     else:
         pdet = None
-    return cache, state, next_ids, details, pdet
+    return cache, state, sampling.pack_step_outputs(next_ids, details), pdet
 
 
 # ---------------------------------------------------------------------------
@@ -292,15 +292,8 @@ class InferenceEngine:
                 jnp.asarray(prefix_lens, jnp.int32)]
         if has_prefix:
             args.append(embeds_arg)
-        self.cache, self.state, next_ids, details, pdet = fn(*args)
-        step = StepResult(
-            next_ids=np.asarray(next_ids),
-            logprob=np.asarray(details.logprob),
-            rank=np.asarray(details.rank),
-            top_ids=np.asarray(details.top_ids),
-            top_logprobs=np.asarray(details.top_logprobs),
-            top_scores=np.asarray(details.top_scores),
-        )
+        self.cache, self.state, packed, pdet = fn(*args)
+        step = StepResult(*sampling.unpack_step_outputs(packed))
         self.last_forward_ns = time.monotonic_ns() - t0
 
         prompt_details = None
@@ -326,15 +319,8 @@ class InferenceEngine:
     def decode(self) -> StepResult:
         """One decode step across all slots (inactive slots masked)."""
         t0 = time.monotonic_ns()
-        self.cache, self.state, next_ids, details = self._decode_fn(
+        self.cache, self.state, packed = self._decode_fn(
             self.model_params, self.cache, self.state)
-        res = StepResult(
-            next_ids=np.asarray(next_ids),
-            logprob=np.asarray(details.logprob),
-            rank=np.asarray(details.rank),
-            top_ids=np.asarray(details.top_ids),
-            top_logprobs=np.asarray(details.top_logprobs),
-            top_scores=np.asarray(details.top_scores),
-        )
+        res = StepResult(*sampling.unpack_step_outputs(packed))
         self.last_forward_ns = time.monotonic_ns() - t0
         return res

@@ -184,8 +184,9 @@ def apply_warpers(
     temp = jnp.where(temperature == 0.0, 1.0, temperature)
     scores = scores / temp[:, None]
 
-    sorted_asc = jnp.sort(scores, axis=-1)            # ascending
-    order = jnp.argsort(scores, axis=-1)              # ids in ascending order
+    # one shared ascending sort feeds both top-k and top-p
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, v), 1)
+    sorted_asc, order = jax.lax.sort_key_val(scores, iota, dimension=-1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, v), 0)
 
     # --- top-k: keep scores >= k-th highest (ties kept, logits_process.py:294) ---
@@ -210,22 +211,28 @@ def apply_warpers(
 
     # --- typical-p: keep the smallest set of tokens (by closeness of their
     # surprisal to the entropy) whose mass reaches typical_p
-    # (logits_process.py:353-387) ---
-    normalized = jax.nn.log_softmax(scores, axis=-1)
-    p_full = jnp.exp(normalized)
-    ent = -jnp.sum(jnp.where(p_full > 0, normalized * p_full, 0.0),
-                   axis=-1, keepdims=True)
-    shifted = jnp.abs((-normalized) - ent)            # -inf scores => +inf
-    shifted_sorted = jnp.sort(shifted, axis=-1)       # ascending = most typical
-    t_order = jnp.argsort(shifted, axis=-1)
-    sorted_probs = jnp.take_along_axis(p_full, t_order, axis=-1)
-    cum_t = jnp.cumsum(sorted_probs, axis=-1)
-    last_ind = jnp.sum(cum_t < typical_p[:, None], axis=-1)
-    last_ind = jnp.clip(last_ind, 0, v - 1)
-    disabled = typical_p >= 1.0
-    last_ind = jnp.where(disabled, v - 1, last_ind)
-    threshold = jnp.take_along_axis(shifted_sorted, last_ind[:, None], axis=-1)
-    scores = jnp.where(shifted > threshold, NEG_INF, scores)
+    # (logits_process.py:353-387); gated behind cond — its extra sort only
+    # runs when some row actually uses typical decoding ---
+    def apply_typical(scores):
+        normalized = jax.nn.log_softmax(scores, axis=-1)
+        p_full = jnp.exp(normalized)
+        ent = -jnp.sum(jnp.where(p_full > 0, normalized * p_full, 0.0),
+                       axis=-1, keepdims=True)
+        shifted = jnp.abs((-normalized) - ent)        # -inf scores => +inf
+        shifted_sorted, t_order = jax.lax.sort_key_val(shifted, iota,
+                                                       dimension=-1)
+        sorted_probs = jnp.take_along_axis(p_full, t_order, axis=-1)
+        cum_t = jnp.cumsum(sorted_probs, axis=-1)
+        last_ind = jnp.sum(cum_t < typical_p[:, None], axis=-1)
+        last_ind = jnp.clip(last_ind, 0, v - 1)
+        disabled = typical_p >= 1.0
+        last_ind = jnp.where(disabled, v - 1, last_ind)
+        threshold = jnp.take_along_axis(shifted_sorted, last_ind[:, None],
+                                        axis=-1)
+        return jnp.where(shifted > threshold, NEG_INF, scores)
+
+    scores = jax.lax.cond(
+        jnp.any(typical_p < 1.0), apply_typical, lambda s: s, scores)
 
     return scores
 
@@ -303,20 +310,67 @@ def next_tokens(
     eos_token_id: int,
     history_start: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, TokenDetails]:
-    """Full next-token pipeline. Returns (next_ids [N], details)."""
+    """Full next-token pipeline. Returns (next_ids [N], details).
+
+    The repetition-penalty scatter and the warper sorts run under lax.cond so
+    an all-greedy / penalty-free batch pays nothing for them (the reference
+    only constructs processors that are actually needed, tokens.py:184-221 —
+    here that decision is a cheap device-side branch instead of a Python
+    rebuild per batch change).
+    """
     scores = logits.astype(jnp.float32)
     scores = apply_eos_penalties(
         scores, gen_count, params.min_new_tokens, params.lp_start,
         params.lp_decay, eos_token_id)
-    scores = apply_repetition_penalty(
-        scores, token_history, history_len, params.repetition_penalty,
-        history_start)
-    warped = apply_warpers(
-        scores, params.temperature, params.top_k, params.top_p, params.typical_p)
+    scores = jax.lax.cond(
+        jnp.any(params.repetition_penalty != 1.0),
+        lambda s: apply_repetition_penalty(
+            s, token_history, history_len, params.repetition_penalty,
+            history_start),
+        lambda s: s,
+        scores)
     do_sample = params.temperature != 0.0
+    warped = jax.lax.cond(
+        jnp.any(do_sample),
+        lambda s: apply_warpers(
+            s, params.temperature, params.top_k, params.top_p,
+            params.typical_p),
+        lambda s: s,
+        scores)
     next_ids = choose_tokens(warped, do_sample, params.seed, gen_count)
     details = token_details(warped, next_ids)
     return next_ids, details
+
+
+def pack_step_outputs(next_ids: jax.Array, details: TokenDetails) -> jax.Array:
+    """Pack (ids, details) into ONE [N, 3 + 3*TOP_N_CAP] f32 array so the
+    host fetches a single buffer per step (important when the accelerator
+    sits behind an RPC tunnel — per-transfer latency dominates)."""
+    return jnp.concatenate([
+        next_ids[:, None].astype(jnp.float32),
+        details.logprob[:, None],
+        details.rank[:, None].astype(jnp.float32),
+        details.top_ids.astype(jnp.float32),
+        details.top_logprobs,
+        details.top_scores,
+    ], axis=1)
+
+
+def unpack_step_outputs(packed) -> tuple:
+    """numpy inverse of pack_step_outputs → (next_ids, logprob, rank,
+    top_ids, top_logprobs, top_scores)."""
+    import numpy as np
+
+    packed = np.asarray(packed)
+    cap = TOP_N_CAP
+    return (
+        packed[:, 0].astype(np.int32),
+        packed[:, 1],
+        packed[:, 2].astype(np.int32),
+        packed[:, 3:3 + cap].astype(np.int32),
+        packed[:, 3 + cap:3 + 2 * cap],
+        packed[:, 3 + 2 * cap:3 + 3 * cap],
+    )
 
 
 class PromptDetails(NamedTuple):

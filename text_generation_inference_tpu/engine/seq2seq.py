@@ -65,7 +65,7 @@ def _s2s_prefill_step(spec: T5Spec, eos_id: int, params: dict,
         gen_count=state.gen_count.at[slots].set(1),
         active=state.active.at[slots].set(True),
     )
-    return dstate, state, next_ids, details
+    return dstate, state, sampling.pack_step_outputs(next_ids, details)
 
 
 def _s2s_decode_step(spec: T5Spec, eos_id: int, params: dict,
@@ -87,7 +87,7 @@ def _s2s_decode_step(spec: T5Spec, eos_id: int, params: dict,
         history_len=state.history_len + active.astype(jnp.int32),
         gen_count=state.gen_count + active.astype(jnp.int32),
     )
-    return dstate, state, next_ids, details
+    return dstate, state, sampling.pack_step_outputs(next_ids, details)
 
 
 class Seq2SeqEngine:
@@ -156,32 +156,18 @@ class Seq2SeqEngine:
                          donate_argnums=(1, 2))
             self._prefill_fns[key] = fn
         t0 = time.monotonic_ns()
-        self.dstate, self.state, next_ids, details = fn(
+        self.dstate, self.state, packed = fn(
             self.model_params, self.dstate, self.state,
             jnp.asarray(ids), jnp.asarray(lengths),
             jnp.asarray(slots, jnp.int32))
-        step = StepResult(
-            next_ids=np.asarray(next_ids),
-            logprob=np.asarray(details.logprob),
-            rank=np.asarray(details.rank),
-            top_ids=np.asarray(details.top_ids),
-            top_logprobs=np.asarray(details.top_logprobs),
-            top_scores=np.asarray(details.top_scores),
-        )
+        step = StepResult(*sampling.unpack_step_outputs(packed))
         self.last_forward_ns = time.monotonic_ns() - t0
         return PrefillResult(first_token=step, prompt_details=None)
 
     def decode(self) -> StepResult:
         t0 = time.monotonic_ns()
-        self.dstate, self.state, next_ids, details = self._decode_fn(
+        self.dstate, self.state, packed = self._decode_fn(
             self.model_params, self.dstate, self.state)
-        res = StepResult(
-            next_ids=np.asarray(next_ids),
-            logprob=np.asarray(details.logprob),
-            rank=np.asarray(details.rank),
-            top_ids=np.asarray(details.top_ids),
-            top_logprobs=np.asarray(details.top_logprobs),
-            top_scores=np.asarray(details.top_scores),
-        )
+        res = StepResult(*sampling.unpack_step_outputs(packed))
         self.last_forward_ns = time.monotonic_ns() - t0
         return res

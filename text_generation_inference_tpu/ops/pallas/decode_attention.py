@@ -77,6 +77,10 @@ def _kernel(ctx_ref,            # scalar-prefetch: [S] i32
 
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         v = v_ref[0, 0].astype(jnp.float32)                  # [BT, D]
+        # zero dead rows (same 0 * NaN hazard as flash_prefill)
+        v_valid = (b * block_t + jax.lax.broadcasted_iota(
+            jnp.int32, v.shape, 0)) < ctx
+        v = jnp.where(v_valid, v, 0.0)
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [G, D]

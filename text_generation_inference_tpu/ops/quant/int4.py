@@ -1,0 +1,120 @@
+"""GPTQ INT4 weight representation + XLA dequant path.
+
+Storage layout is the GPTQ checkpoint format the reference consumes with its
+exllama/triton kernels (reference: server/.../utils/gptq/quant_linear.py,
+utils/weights.py:150-229):
+
+  qweight [in/8, out] int32 — eight 4-bit rows packed little-endian per word
+  qzeros  [groups, out/8] int32 — packed 4-bit zero-points (stored with the
+          GPTQ "-1" bias: true zero-point = packed + 1)
+  scales  [groups, out] f16/f32
+  g_idx   [in] int32 — row → group map (non-trivial under act-order)
+
+dequant: W[i, j] = scales[g_idx[i], j] * (unpack(qweight)[i, j]
+                                          - unpack(qzeros)[g_idx[i], j] - 1)
+
+`Int4Weight` is a pytree node, so it flows through jit/donation/GSPMD like
+any array leaf; sharding specs treat qweight/scales/qzeros as column-sharded
+together (reference sharding rules: utils/weights.py:115-201).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Int4Weight(NamedTuple):
+    qweight: jax.Array   # [in/8, out] int32
+    qzeros: jax.Array    # [groups, out/8] int32
+    scales: jax.Array    # [groups, out] float
+    g_idx: jax.Array     # [in] int32
+
+    @property
+    def in_features(self) -> int:
+        return self.qweight.shape[0] * 8
+
+    @property
+    def out_features(self) -> int:
+        return self.qweight.shape[1]
+
+
+def unpack_rows(packed: jax.Array) -> jax.Array:
+    """[n/8, m] int32 → [n, m] int32 of 4-bit values (row-packed)."""
+    shifts = (4 * jnp.arange(8, dtype=jnp.int32))[None, :, None]
+    u = (packed[:, None, :] >> shifts) & 0xF
+    return u.reshape(packed.shape[0] * 8, packed.shape[1])
+
+
+def unpack_cols(packed: jax.Array) -> jax.Array:
+    """[n, m/8] int32 → [n, m] int32 of 4-bit values (column-packed)."""
+    shifts = (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :]
+    u = (packed[:, :, None] >> shifts) & 0xF
+    return u.reshape(packed.shape[0], packed.shape[1] * 8)
+
+
+def dequantize(w: Int4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    """Full-precision [in, out] weight (XLA fallback path)."""
+    q = unpack_rows(w.qweight)                       # [in, out]
+    zeros = unpack_cols(w.qzeros) + 1                # [groups, out]
+    scales = w.scales.astype(jnp.float32)
+    z = jnp.take(zeros, w.g_idx, axis=0)             # [in, out]
+    s = jnp.take(scales, w.g_idx, axis=0)
+    return ((q - z).astype(jnp.float32) * s).astype(dtype)
+
+
+def matmul_dequant(x: jax.Array, w: Int4Weight) -> jax.Array:
+    """x @ dequant(w) — the XLA fallback (the Pallas fused kernel is in
+    ops/pallas/int4_matmul.py)."""
+    return jnp.dot(x, dequantize(w, x.dtype))
+
+
+def quantize_rtn(weight: np.ndarray, groupsize: int = 128) -> Int4Weight:
+    """Round-to-nearest groupwise INT4 quantization of a [in, out] f32
+    weight (for tests and as the starting point of the GPTQ algorithm)."""
+    in_f, out_f = weight.shape
+    assert in_f % groupsize == 0 and in_f % 8 == 0 and out_f % 8 == 0
+    groups = in_f // groupsize
+    w = weight.reshape(groups, groupsize, out_f).astype(np.float32)
+    wmax = w.max(axis=1)
+    wmin = w.min(axis=1)
+    scale = np.maximum((wmax - wmin) / 15.0, 1e-8)          # [groups, out]
+    zero_f = np.round(-wmin / scale)
+    zero = np.clip(zero_f, 0, 15).astype(np.int32)          # [groups, out]
+    q = np.round(w / scale[:, None, :]) + zero[:, None, :]
+    q = np.clip(q, 0, 15).astype(np.int32).reshape(in_f, out_f)
+
+    return Int4Weight(
+        qweight=jnp.asarray(pack_rows(q)),
+        qzeros=jnp.asarray(pack_cols(zero - 1)),
+        scales=jnp.asarray(scale, jnp.float32),
+        g_idx=jnp.asarray(np.arange(in_f) // groupsize, jnp.int32),
+    )
+
+
+def pack_rows(q: np.ndarray) -> np.ndarray:
+    """[in, out] 4-bit values → [in/8, out] int32."""
+    in_f, out_f = q.shape
+    q = q.reshape(in_f // 8, 8, out_f).astype(np.uint32)
+    packed = np.zeros((in_f // 8, out_f), np.uint32)
+    for j in range(8):
+        packed |= q[:, j, :] << (4 * j)
+    return packed.astype(np.int32)
+
+
+def pack_cols(q: np.ndarray) -> np.ndarray:
+    """[groups, out] 4-bit values → [groups, out/8] int32."""
+    g, out_f = q.shape
+    q = (q.astype(np.int64) & 0xF).reshape(g, out_f // 8, 8).astype(np.uint32)
+    packed = np.zeros((g, out_f // 8), np.uint32)
+    for j in range(8):
+        packed |= q[:, :, j] << (4 * j)
+    return packed.astype(np.int32)
+
+
+def register_pytree() -> None:
+    # NamedTuple is automatically a pytree; nothing to do, kept for clarity.
+    pass
