@@ -134,7 +134,22 @@ class GenRequest:
         if self.stopping.time_limit_millis:
             self.deadline = self.start_time + self.stopping.time_limit_millis / 1000.0
         self.decoder = IncrementalDecoder(tokenizer)
-        self.stop_state = StopSequenceState(
+        self.stop_state = self._make_stop_state()
+
+    def _make_stop_state(self):
+        """Prefer the native C++ matcher (byte-exact, like the reference's
+        Rust implementation); fall back to pure Python."""
+        if self.stopping.stop_sequences:
+            try:
+                from ..utils.native_tokenproc import NativeStopState, available
+
+                if available():
+                    return NativeStopState(
+                        self.stopping.stop_sequences,
+                        self.stopping.include_stop_sequence)
+            except Exception:
+                pass
+        return StopSequenceState(
             self.stopping.stop_sequences, self.stopping.include_stop_sequence)
 
     def final_text(self) -> str:
@@ -147,12 +162,7 @@ class GenRequest:
     def unstreamed_text(self, final: bool) -> str:
         """Text not yet pushed to the stream, honoring stop-seq hold-back."""
         assert self.stop_state is not None
-        if final:
-            text = self.stop_state.final_text(self.matched_stop)
-        else:
-            total = self.stop_state.text
-            held = self.stop_state.held_back_len()
-            text = total[: len(total) - held] if held else total
+        text = self.stop_state.visible_text(self.matched_stop, final)
         delta = text[self.streamed_chars:]
         self.streamed_chars = max(self.streamed_chars, len(text))
         return delta

@@ -112,3 +112,11 @@ class StopSequenceState:
                     held = max(held, k)
                     break
         return held
+
+    def visible_text(self, matched, final: bool) -> str:
+        """Prefix of the output safe to show: everything on final, text
+        minus the stop-seq hold-back while streaming."""
+        if final:
+            return self.final_text(matched)
+        held = self.held_back_len()
+        return self.text[: len(self.text) - held] if held else self.text
