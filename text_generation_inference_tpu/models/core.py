@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import linear as linops
+
 
 @dataclasses.dataclass(frozen=True)
 class DecoderSpec:
@@ -258,15 +260,20 @@ def _embed(spec: DecoderSpec, params: dict, ids: jax.Array, positions: jax.Array
 
 
 def _unembed(spec: DecoderSpec, params: dict, x: jax.Array) -> jax.Array:
-    w = params["embed_tokens"].T if spec.tie_word_embeddings else params["lm_head"]
+    if spec.tie_word_embeddings:
+        return jnp.dot(x, params["embed_tokens"].T,
+                       preferred_element_type=jnp.float32)
+    w = params["lm_head"]
+    if linops.is_quantized(w):
+        return linops.matmul(x, w).astype(jnp.float32)
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
 def _qkv(spec: DecoderSpec, lp: dict, x: jax.Array):
     """x: [..., D] -> q [..., H, Dh], k/v [..., K, Dh]."""
-    q = jnp.dot(x, lp["wq"])
-    k = jnp.dot(x, lp["wk"])
-    v = jnp.dot(x, lp["wv"])
+    q = linops.matmul(x, lp["wq"])
+    k = linops.matmul(x, lp["wk"])
+    v = linops.matmul(x, lp["wv"])
     if spec.qkv_bias:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -278,23 +285,23 @@ def _qkv(spec: DecoderSpec, lp: dict, x: jax.Array):
 
 
 def _attn_out(spec: DecoderSpec, lp: dict, attn: jax.Array) -> jax.Array:
-    out = jnp.dot(attn.reshape(*attn.shape[:-2], spec.q_size), lp["wo"])
+    out = linops.matmul(attn.reshape(*attn.shape[:-2], spec.q_size), lp["wo"])
     if spec.attn_out_bias:
         out = out + lp["bo"]
     return out
 
 
 def _mlp(spec: DecoderSpec, lp: dict, x: jax.Array) -> jax.Array:
-    up = jnp.dot(x, lp["w_up"])
+    up = linops.matmul(x, lp["w_up"])
     if spec.mlp_bias:
         up = up + lp["b_up"]
     gate = None
     if spec.activation.endswith("_glu"):
-        gate = jnp.dot(x, lp["w_gate"])
+        gate = linops.matmul(x, lp["w_gate"])
         if spec.mlp_bias:
             gate = gate + lp["b_gate"]
     h = _activate(spec, up, gate)
-    out = jnp.dot(h, lp["w_down"])
+    out = linops.matmul(h, lp["w_down"])
     if spec.mlp_bias:
         out = out + lp["b_down"]
     return out

@@ -188,6 +188,50 @@ def _stack(arrs: list[np.ndarray], dtype) -> jnp.ndarray:
     return jnp.asarray(np.stack(arrs), dtype=dtype)
 
 
+def _stack_linear(w: Weights, fmt: str, n_layers: int, dtype):
+    """Stack one linear across layers: dense `.weight` (transposed to
+    [in, out]) or GPTQ `qweight/qzeros/scales/g_idx` → stacked Int4Weight.
+
+    GPTQ tensor layout note: HF/AutoGPTQ checkpoints store qweight as
+    [in/8, out] and scales as [groups, out] already in x@W orientation —
+    no transpose needed (reference consumes the same format,
+    utils/gptq/quant_linear.py:249-268).
+    """
+    first = fmt.format(i=0)
+    if w.has(first + ".qweight"):
+        from ..ops.quant.int4 import normalize_act_order
+
+        per_layer = [
+            normalize_act_order(
+                w.get(fmt.format(i=i) + ".qweight"),
+                w.get(fmt.format(i=i) + ".qzeros"),
+                w.get(fmt.format(i=i) + ".scales").astype(np.float32),
+                w.get(fmt.format(i=i) + ".g_idx"),
+            )
+            for i in range(n_layers)
+        ]
+        from ..ops.quant.int4 import Int4Weight
+
+        perms = [p.perm for p in per_layer]
+        has_perm = any(p is not None for p in perms)
+        if has_perm:
+            perm_stack = jnp.stack([
+                p.perm if p.perm is not None
+                else jnp.arange(p.in_features, dtype=jnp.int32)
+                for p in per_layer])
+        else:
+            perm_stack = None
+        return Int4Weight(
+            qweight=jnp.stack([p.qweight for p in per_layer]),
+            qzeros=jnp.stack([p.qzeros for p in per_layer]),
+            scales=jnp.stack([p.scales for p in per_layer]),
+            g_idx=jnp.stack([p.g_idx for p in per_layer]),
+            perm=perm_stack,
+        )
+    return _stack([w.get(fmt.format(i=i) + ".weight").T
+                   for i in range(n_layers)], dtype)
+
+
 def _norm_stack(w: Weights, fmt: str, n_layers: int, dtype, bias: bool) -> dict:
     p = {"scale": _stack([w.get(fmt.format(i=i) + ".weight") for i in range(n_layers)], dtype)}
     if bias:
@@ -201,13 +245,13 @@ def _load_llama(w: Weights, s: DecoderSpec, dtype) -> dict:
     layers = {
         "ln1": _norm_stack(w, pre + ".input_layernorm", L, dtype, False),
         "ln2": _norm_stack(w, pre + ".post_attention_layernorm", L, dtype, False),
-        "wq": _stack([w.get(f"model.layers.{i}.self_attn.q_proj.weight").T for i in range(L)], dtype),
-        "wk": _stack([w.get(f"model.layers.{i}.self_attn.k_proj.weight").T for i in range(L)], dtype),
-        "wv": _stack([w.get(f"model.layers.{i}.self_attn.v_proj.weight").T for i in range(L)], dtype),
-        "wo": _stack([w.get(f"model.layers.{i}.self_attn.o_proj.weight").T for i in range(L)], dtype),
-        "w_gate": _stack([w.get(f"model.layers.{i}.mlp.gate_proj.weight").T for i in range(L)], dtype),
-        "w_up": _stack([w.get(f"model.layers.{i}.mlp.up_proj.weight").T for i in range(L)], dtype),
-        "w_down": _stack([w.get(f"model.layers.{i}.mlp.down_proj.weight").T for i in range(L)], dtype),
+        "wq": _stack_linear(w, pre + ".self_attn.q_proj", L, dtype),
+        "wk": _stack_linear(w, pre + ".self_attn.k_proj", L, dtype),
+        "wv": _stack_linear(w, pre + ".self_attn.v_proj", L, dtype),
+        "wo": _stack_linear(w, pre + ".self_attn.o_proj", L, dtype),
+        "w_gate": _stack_linear(w, pre + ".mlp.gate_proj", L, dtype),
+        "w_up": _stack_linear(w, pre + ".mlp.up_proj", L, dtype),
+        "w_down": _stack_linear(w, pre + ".mlp.down_proj", L, dtype),
     }
     params = {
         "embed_tokens": jnp.asarray(w.get("model.embed_tokens.weight"), dtype),

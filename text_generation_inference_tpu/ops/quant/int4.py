@@ -28,10 +28,14 @@ import numpy as np
 
 
 class Int4Weight(NamedTuple):
-    qweight: jax.Array   # [in/8, out] int32
+    qweight: jax.Array   # [in/8, out] int32 (rows in GROUP-SEQUENTIAL order)
     qzeros: jax.Array    # [groups, out/8] int32
     scales: jax.Array    # [groups, out] float
-    g_idx: jax.Array     # [in] int32
+    g_idx: jax.Array     # [in] int32 (sequential after normalization)
+    # act-order input permutation: x must be gathered as x[..., perm] before
+    # the matmul (exllama's q_perm, reference: utils/gptq/exllamav2.py:31-48).
+    # None for checkpoints without act-order.
+    perm: jax.Array | None = None
 
     @property
     def in_features(self) -> int:
@@ -40,6 +44,32 @@ class Int4Weight(NamedTuple):
     @property
     def out_features(self) -> int:
         return self.qweight.shape[1]
+
+
+def normalize_act_order(qweight: np.ndarray, qzeros: np.ndarray,
+                        scales: np.ndarray, g_idx: np.ndarray) -> Int4Weight:
+    """Convert a raw GPTQ checkpoint (possibly act-order) into the
+    group-sequential layout the fused kernel expects, hoisting the row
+    shuffle into a one-time input permutation."""
+    in_f = g_idx.shape[0]
+    groups = scales.shape[0]
+    groupsize = in_f // groups
+    expected = np.arange(in_f) // groupsize
+    if np.array_equal(g_idx, expected):
+        return Int4Weight(
+            qweight=jnp.asarray(qweight), qzeros=jnp.asarray(qzeros),
+            scales=jnp.asarray(scales), g_idx=jnp.asarray(g_idx, jnp.int32),
+            perm=None)
+    # stable sort rows by group: perm[r] = original row index
+    perm = np.argsort(g_idx, kind="stable").astype(np.int32)
+    q = np.asarray(unpack_rows(jnp.asarray(qweight)))
+    q = q[perm]
+    return Int4Weight(
+        qweight=jnp.asarray(pack_rows(q)),
+        qzeros=jnp.asarray(qzeros),
+        scales=jnp.asarray(scales),
+        g_idx=jnp.asarray(expected, jnp.int32),
+        perm=jnp.asarray(perm, jnp.int32))
 
 
 def unpack_rows(packed: jax.Array) -> jax.Array:
