@@ -87,10 +87,13 @@ class Batcher:
     # -- admission ----------------------------------------------------------
 
     def _padding_ok(self, lens: list[int]) -> bool:
+        """Inter-sequence padding proportion limit (reference:
+        queue.rs max_prefill_padding): padding is measured against the batch
+        max length — bucket-rounding waste is a fixed compile-shape cost and
+        deliberately not counted, so equal-length requests always batch."""
         if len(lens) <= 1:
             return True
-        bucket = self.config.bucket_for(max(lens))
-        total = bucket * len(lens)
+        total = max(lens) * len(lens)
         padding = total - sum(lens)
         return padding / total <= self.config.max_prefill_padding
 
