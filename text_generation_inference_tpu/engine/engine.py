@@ -189,10 +189,15 @@ class InferenceEngine:
         self.model_params = params
         self.config = config
         self.eos_token_id = eos_token_id
-        self.num_slots = config.max_batch_slots
-        self.max_seq = config.max_sequence_length
 
         cache_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        from .memory import plan_memory
+
+        self.memory_plan = plan_memory(
+            spec, config, params,
+            cache_dtype_itemsize=jnp.dtype(cache_dtype).itemsize)
+        self.num_slots = config.max_batch_slots   # possibly shrunk by the plan
+        self.max_seq = config.max_sequence_length
         self.cache = KVCache.create(spec, self.num_slots, self.max_seq, cache_dtype)
         self.state = EngineState.create(self.num_slots, self.max_seq)
         self.free_slots: list[int] = list(range(self.num_slots))

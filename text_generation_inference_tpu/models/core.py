@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import linear as linops
+from ..ops import attention as attn_ops
 
 
 @dataclasses.dataclass(frozen=True)
@@ -365,14 +366,9 @@ def prefill(
             k = _apply_rope(spec, k, cos, sin)
         # [N, T, H, Dh] -> grouped [N, T, K, G, Dh]
         qg = q.reshape(n, t, spec.num_kv_heads, group, spec.head_dim)
-        scores = jnp.einsum("nqkgd,nvkd->nkgqv", qg, k,
-                            preferred_element_type=jnp.float32) * scale
-        if bias is not None:
-            b = bias.reshape(1, spec.num_kv_heads, group, 1, t)
-            scores = scores + b
-        scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        attn = jnp.einsum("nkgqv,nvkd->nqkgd", probs, v)
+        b = (bias.reshape(1, spec.num_kv_heads, group, 1, t)
+             if bias is not None else None)
+        attn = attn_ops.prefill_attention(qg, k, v, lengths, b, mask, scale)
         attn = attn.reshape(n, t, spec.num_heads, spec.head_dim)
         attn = _attn_out(spec, lp, attn)
 
@@ -452,14 +448,9 @@ def decode(
         cv = cv.at[rows, :, positions, :].set(v.astype(cv.dtype))
 
         qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
-        scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
-                            preferred_element_type=jnp.float32) * scale
-        if bias is not None:
-            b = bias.reshape(spec.num_kv_heads, group, t_max)
-            scores = scores + b[None]
-        scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
-        attn = jnp.einsum("skgt,sktd->skgd", probs, cv)
+        b = (bias.reshape(spec.num_kv_heads, group, t_max)[None]
+             if bias is not None else None)
+        attn = attn_ops.decode_attention(qg, ck, cv, context_len, b, mask, scale)
         attn = attn.reshape(s, spec.num_heads, spec.head_dim)
         attn = _attn_out(spec, lp, attn)
 
