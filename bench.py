@@ -39,6 +39,7 @@ def main():
         num_slots, max_seq, dtype = 16, 1024, jnp.bfloat16
         steps, warmup = 64, 8
         hbm_bw = 819e9      # v5e ~819 GB/s
+        decode_chunk = int(__import__("os").environ.get("DECODE_CHUNK", "16"))
     else:
         spec = DecoderSpec(
             vocab_size=1024, hidden_size=256, num_layers=4,
@@ -48,11 +49,12 @@ def main():
         num_slots, max_seq, dtype = 4, 128, jnp.float32
         steps, warmup = 8, 2
         hbm_bw = 50e9       # rough host-memory figure; CPU runs are smoke only
+        decode_chunk = 2
 
     params = core.init_params(spec, jax.random.key(0), dtype=dtype)
     config = ServingConfig(
         max_sequence_length=max_seq, max_new_tokens=max_seq // 2,
-        max_batch_slots=num_slots,
+        max_batch_slots=num_slots, decode_chunk=decode_chunk,
         prefill_buckets=[64, max_seq],
     )
     config.validate()
@@ -66,15 +68,18 @@ def main():
             [s], [rng.integers(0, spec.vocab_size, size=prompt_len).tolist()],
             [RequestParams(max_new_tokens=max_seq - prompt_len)])
 
-    for _ in range(warmup):
-        engine.decode()
-    jax.block_until_ready(engine.cache.k)
+    # NOTE: decode_steps() ends with a host fetch of the packed outputs, so
+    # each timed call is fully synchronized — no block_until_ready (which is
+    # pathologically slow through remote-TPU tunnels).
+    for _ in range(max(warmup // decode_chunk, 1)):
+        engine.decode_steps()
 
+    calls = max(steps // decode_chunk, 1)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        engine.decode()
-    jax.block_until_ready(engine.cache.k)
+    for _ in range(calls):
+        engine.decode_steps()
     elapsed = time.perf_counter() - t0
+    steps = calls * decode_chunk
 
     steps_per_s = steps / elapsed
     tokens_per_s = steps_per_s * num_slots
@@ -84,7 +89,7 @@ def main():
     param_bytes = sum(
         int(np.prod(a.shape)) * a.dtype.itemsize
         for a in jax.tree_util.tree_leaves(params))
-    ctx = prompt_len + warmup + steps // 2
+    ctx = prompt_len + steps
     kv_bytes = (spec.num_layers * 2 * num_slots * ctx
                 * spec.num_kv_heads * spec.head_dim * np.dtype(dtype).itemsize)
     sol_steps = hbm_bw / (param_bytes + kv_bytes)

@@ -175,6 +175,34 @@ class TestSampling:
         assert engine.eos_token_id not in toks[:6]
 
 
+class TestChunkedDecode:
+    def test_chunked_matches_unchunked(self):
+        """decode_chunk > 1 must produce identical token streams."""
+        model_dir = fixtures.tiny_llama()
+        spec, params = families.load_model(model_dir, dtype=jnp.float32)
+
+        def build(chunk):
+            cfg = ServingConfig(
+                max_sequence_length=64, max_new_tokens=32,
+                max_batch_slots=2, prefill_buckets=[8, 16],
+                decode_chunk=chunk)
+            cfg.validate()
+            return InferenceEngine(spec, params, cfg, eos_token_id=2)
+
+        def run(engine, n_chunks):
+            slot = engine.acquire_slot()
+            res = engine.prefill([slot], [PROMPTS[0]], [RequestParams()])
+            toks = [int(res.first_token.next_ids[0])]
+            for _ in range(n_chunks):
+                for step in engine.decode_steps():
+                    toks.append(int(step.next_ids[slot]))
+            return toks
+
+        plain = run(build(1), 8)
+        chunked = run(build(4), 2)
+        assert plain == chunked
+
+
 class TestMultiPrefill:
     def test_batched_prefill_matches_individual(self):
         engine, spec, model_dir = make_engine(num_slots=4)

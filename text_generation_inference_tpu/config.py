@@ -78,6 +78,10 @@ class ServingConfig:
     # --- engine shape budget (TPU static-shape plan) ---
     max_batch_slots: int = 16                 # decode-step width; one
                                               # compilation serves all loads
+    decode_chunk: int = 1                     # decode steps per device
+                                              # dispatch; >1 amortizes host
+                                              # sync (tokens arrive in bursts
+                                              # of this size when streaming)
     prefill_buckets: list[int] = field(
         default_factory=lambda: list(_DEFAULT_PREFILL_BUCKETS))
     kv_page_size: int = 128                   # tokens per KV page (paged cache)
@@ -120,6 +124,7 @@ class ServingConfig:
             max_prefill_padding=_env_float("MAX_PREFILL_PADDING", 0.2),
             default_include_stop_seqs=_env_bool("DEFAULT_INCLUDE_STOP_SEQS", True),
             max_batch_slots=_env_int("MAX_BATCH_SLOTS", 16),
+            decode_chunk=_env_int("DECODE_CHUNK", 1),
             prefill_buckets=_env_int_list("PREFILL_BUCKETS", _DEFAULT_PREFILL_BUCKETS),
             kv_page_size=_env_int("KV_PAGE_SIZE", 128),
             hbm_memory_fraction=_env_float("HBM_MEMORY_FRACTION", 0.9),

@@ -124,6 +124,24 @@ def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
     return cache, state, sampling.pack_step_outputs(next_ids, details)
 
 
+def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
+                  params: dict, cache: KVCache, state: EngineState):
+    """`num_steps` decode iterations in one compiled dispatch; packed
+    outputs stacked [num_steps, S, 3+3*CAP]. Amortizes the per-dispatch and
+    per-fetch host/tunnel overhead — with the host-side stopping logic
+    applied per token afterwards, behavior is identical except that slots
+    whose request stops mid-chunk compute (discarded) extra tokens."""
+
+    def body(carry, _):
+        cache, state = carry
+        cache, state, packed = _decode_step(spec, eos_id, params, cache, state)
+        return (cache, state), packed
+
+    (cache, state), packed_seq = jax.lax.scan(
+        body, (cache, state), None, length=num_steps)
+    return cache, state, packed_seq
+
+
 def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
                   params: dict, cache: KVCache, state: EngineState,
                   ids: jax.Array,        # [N, B] right-padded bucket
@@ -202,10 +220,17 @@ class InferenceEngine:
         self.state = EngineState.create(self.num_slots, self.max_seq)
         self.free_slots: list[int] = list(range(self.num_slots))
 
-        self._decode_fn = jax.jit(
-            partial(_decode_step, spec, eos_token_id),
-            donate_argnums=(1, 2),
-        )
+        self.decode_chunk = max(1, config.decode_chunk)
+        if self.decode_chunk == 1:
+            self._decode_fn = jax.jit(
+                partial(_decode_step, spec, eos_token_id),
+                donate_argnums=(1, 2),
+            )
+        else:
+            self._decode_fn = jax.jit(
+                partial(_decode_multi, spec, eos_token_id, self.decode_chunk),
+                donate_argnums=(1, 2),
+            )
         self._prefill_fns: dict[tuple[int, int, bool], Any] = {}
         self.last_forward_ns: int = 0
 
@@ -323,9 +348,18 @@ class InferenceEngine:
 
     def decode(self) -> StepResult:
         """One decode step across all slots (inactive slots masked)."""
+        return self.decode_steps()[0]
+
+    def decode_steps(self) -> list[StepResult]:
+        """`decode_chunk` decode steps in one dispatch + one host fetch."""
         t0 = time.monotonic_ns()
         self.cache, self.state, packed = self._decode_fn(
             self.model_params, self.cache, self.state)
-        res = StepResult(*sampling.unpack_step_outputs(packed))
+        packed = jax.device_get(packed)
+        if self.decode_chunk == 1:
+            results = [StepResult(*sampling.unpack_step_outputs(packed))]
+        else:
+            results = [StepResult(*sampling.unpack_step_outputs(packed[i]))
+                       for i in range(self.decode_chunk)]
         self.last_forward_ns = time.monotonic_ns() - t0
-        return res
+        return results

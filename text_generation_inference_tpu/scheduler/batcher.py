@@ -200,12 +200,21 @@ class Batcher:
 
     async def _do_decode(self, loop) -> None:
         t0 = time.monotonic()
-        step = await loop.run_in_executor(None, self.engine.decode)
+        decode_fn = getattr(self.engine, "decode_steps", None)
+        if decode_fn is not None:
+            steps = await loop.run_in_executor(None, decode_fn)
+        else:
+            steps = [await loop.run_in_executor(None, self.engine.decode)]
         metrics.observe("tgi_batch_inference_duration", time.monotonic() - t0,
                         method="next_token")
-        self.steps_since_prefill += 1
-        self._process_step(
-            {slot: req for slot, req in list(self.active.items())}, step)
+        self.steps_since_prefill += len(steps)
+        for step in steps:
+            # re-snapshot active each sub-step: requests that stop mid-chunk
+            # must not consume the chunk's remaining (discarded) tokens
+            if not self.active:
+                break
+            self._process_step(
+                {slot: req for slot, req in list(self.active.items())}, step)
 
     # -- token processing ---------------------------------------------------
 
