@@ -346,6 +346,37 @@ class InferenceEngine:
                 })
         return PrefillResult(first_token=step, prompt_details=prompt_details)
 
+    def warmup(self, batch_sizes: tuple[int, ...] = (1,),
+               include_details: bool = False) -> None:
+        """Pre-compile the decode step and the prefill buckets.
+
+        Counterpart of the reference's PT2-compile shape-grid warmup
+        (reference: server/.../utils/warmup.py:68-152): without it the first
+        request on each shape pays the full XLA compile. Runs real dummy
+        prefills through slot 0 and then resets all slot state.
+        """
+        t0 = time.monotonic()
+        n_compiles = 0
+        for bucket in self.config.prefill_buckets:
+            if bucket > self.max_seq:
+                continue
+            for n in batch_sizes:
+                if n > self.num_slots:
+                    continue
+                slots = list(range(n))
+                ids = [[1] * min(bucket, self.max_seq - 2)] * n
+                for variant in ((False, True) if include_details else (False,)):
+                    self.prefill(slots, ids, [RequestParams()] * n,
+                                 want_prompt_details=variant)
+                    n_compiles += 1
+        self.decode_steps()
+        n_compiles += 1
+        # reset slot state polluted by the dummy prefills
+        self.state = EngineState.create(self.num_slots, self.max_seq)
+        self.free_slots = list(range(self.num_slots))
+        logger.info("warmup compiled %d programs in %.1fs",
+                    n_compiles, time.monotonic() - t0)
+
     def decode(self) -> StepResult:
         """One decode step across all slots (inactive slots masked)."""
         return self.decode_steps()[0]

@@ -116,6 +116,14 @@ class Batcher:
             elif now - req.queue_time >= QUEUE_JUMP_CUTOFF_S:
                 # fairness: an old entry may not be jumped over
                 break
+        # round the batch DOWN to a power of two: each (n, bucket) pair is a
+        # separate XLA compilation, so prefill batch sizes are restricted to
+        # 1/2/4/8/... (leftover requests go in the next prefill)
+        if len(chosen) > 1:
+            n = 1
+            while n * 2 <= len(chosen):
+                n *= 2
+            chosen = chosen[:n]
         return chosen
 
     def _should_prefill(self) -> Optional[list[GenRequest]]:

@@ -75,6 +75,13 @@ async def async_serve(config: ServingConfig) -> None:
             max_size_mb=config.prompt_cache_size_mb,
             max_prefix_length=config.max_prompt_prefix_length,
         )
+    import os as _os
+
+    if _os.getenv("WARMUP", "1").lower() not in ("0", "false") \
+            and hasattr(engine, "warmup"):
+        logger.info("warming up compiled shapes (set WARMUP=0 to skip)")
+        engine.warmup()
+
     batcher = Batcher(engine, tokenizer, config, prompt_cache=prompt_cache)
     batcher.start()
 
