@@ -383,6 +383,7 @@ class InferenceEngine:
 
     def decode_steps(self) -> list[StepResult]:
         """`decode_chunk` decode steps in one dispatch + one host fetch."""
+        self.last_n_emitted = None   # every step row is valid for every slot
         t0 = time.monotonic_ns()
         self.cache, self.state, packed = self._decode_fn(
             self.model_params, self.cache, self.state)

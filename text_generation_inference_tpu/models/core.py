@@ -260,6 +260,91 @@ def _embed(spec: DecoderSpec, params: dict, ids: jax.Array, positions: jax.Array
     return x
 
 
+def verify_chunk(
+    spec: DecoderSpec,
+    params: dict,
+    ids: jax.Array,          # [S, C] i32: candidate tokens per slot
+    start_pos: jax.Array,    # [S] i32: position of ids[:, 0]
+    cache: KVCache,
+) -> tuple[jax.Array, KVCache]:
+    """Speculative-verification forward: C candidate positions per slot in
+    one pass (the model-side half of the reference's speculative decoding,
+    reference: server/.../utils/paged.py:253-326). Attention for candidate
+    j covers the slot's prefix (< start_pos) plus candidates 0..j (causal
+    within the chunk). KV for all candidates is written into the cache; the
+    caller rewinds rejected positions by simply not advancing context_len —
+    later writes overwrite the garbage.
+
+    Returns ([S, C, V] f32 logits, cache).
+    """
+    s, c = ids.shape
+    t_max = cache.max_seq
+    positions = start_pos[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+    x = _embed(spec, params, ids, positions)            # [S, C, D]
+
+    if spec.pos == "rope":
+        cos, sin = _rope_freqs(spec, positions)         # [S, C, rd]
+    else:
+        cos = sin = None
+
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)
+    # mask [S, C, Tmax]: key visible to candidate j iff key_pos <= pos_j
+    mask = key_pos[None, None, :] <= positions[:, :, None]
+    if spec.pos == "alibi":
+        slopes = jnp.asarray(alibi_slopes(spec.num_heads))
+        bias = slopes[None, :, None, None] * key_pos.astype(jnp.float32)[None, None, None, :]
+    else:
+        bias = None
+
+    scale = 1.0 / math.sqrt(spec.head_dim)
+    group = spec.num_heads // spec.num_kv_heads
+    rows = jnp.arange(s)
+
+    def layer(x, inputs):
+        lp, ck, cv = inputs
+        h = _norm(spec, lp["ln1"], x)
+        q, k, v = _qkv(spec, lp, h)                     # q [S, C, H, Dh]
+        if cos is not None:
+            q = _apply_rope(spec, q, cos, sin)
+            k = _apply_rope(spec, k, cos, sin)
+        # scatter C new positions per slot into the cache
+        k_t = k.transpose(0, 2, 1, 3).astype(ck.dtype)  # [S, K, C, Dh]
+        v_t = v.transpose(0, 2, 1, 3).astype(cv.dtype)
+        pos_idx = positions[:, None, :].astype(jnp.int32)
+        ck = ck.at[rows[:, None, None],
+                   jnp.arange(spec.num_kv_heads)[None, :, None],
+                   pos_idx, :].set(k_t, mode="drop")
+        cv = cv.at[rows[:, None, None],
+                   jnp.arange(spec.num_kv_heads)[None, :, None],
+                   pos_idx, :].set(v_t, mode="drop")
+
+        qg = q.reshape(s, c, spec.num_kv_heads, group, spec.head_dim)
+        scores = jnp.einsum("sckgd,sktd->skgct", qg, ck,
+                            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            b = bias.reshape(1, spec.num_kv_heads, group, 1, t_max)
+            scores = scores + b
+        scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cv.dtype)
+        attn = jnp.einsum("skgct,sktd->sckgd", probs, cv)
+        attn = attn.reshape(s, c, spec.num_heads, spec.head_dim)
+        attn = _attn_out(spec, lp, attn)
+
+        if spec.parallel_residual:
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + attn + _mlp(spec, lp, h2)
+        else:
+            x = x + attn
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + _mlp(spec, lp, h2)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
+    x = _norm(spec, params["final_norm"], x)
+    logits = _unembed(spec, params, x)
+    return logits, x, KVCache(k=new_k, v=new_v)
+
+
 def _unembed(spec: DecoderSpec, params: dict, x: jax.Array) -> jax.Array:
     if spec.tie_word_embeddings:
         return jnp.dot(x, params["embed_tokens"].T,
@@ -322,12 +407,15 @@ def prefill(
     cache: KVCache,
     prefix_embeds: Optional[jax.Array] = None,  # [N, T, D] override (soft prompts)
     prefix_len: Optional[jax.Array] = None,     # [N] i32 prefix positions per row
-) -> tuple[jax.Array, KVCache]:
+    return_hidden: bool = False,
+):
     """Full causal forward over a padded bucket; writes KV into `cache` slots.
 
-    Returns ([N, T, V] f32 logits at every position, updated cache). Garbage
-    beyond each row's true length is never read back: decode masks on
-    context length, and the caller gathers logits at length-1.
+    Returns ([N, T, V] f32 logits at every position, updated cache) — plus
+    the final-norm hidden states [N, T, D] when `return_hidden` (used to
+    seed the speculator). Garbage beyond each row's true length is never
+    read back: decode masks on context length, and the caller gathers
+    logits at length-1.
     """
     n, t = ids.shape
     positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (n, t))
@@ -390,6 +478,8 @@ def prefill(
     x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
+    if return_hidden:
+        return logits, x, KVCache(k=new_k, v=new_v)
     return logits, KVCache(k=new_k, v=new_v)
 
 

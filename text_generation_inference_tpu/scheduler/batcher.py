@@ -216,13 +216,20 @@ class Batcher:
         metrics.observe("tgi_batch_inference_duration", time.monotonic() - t0,
                         method="next_token")
         self.steps_since_prefill += len(steps)
-        for step in steps:
+        # speculative engines emit a variable number of valid positions per
+        # slot (engine.last_n_emitted); plain engines emit all positions
+        n_emit = getattr(self.engine, "last_n_emitted", None)
+        for j, step in enumerate(steps):
             # re-snapshot active each sub-step: requests that stop mid-chunk
             # must not consume the chunk's remaining (discarded) tokens
             if not self.active:
                 break
-            self._process_step(
-                {slot: req for slot, req in list(self.active.items())}, step)
+            rows = {
+                slot: req for slot, req in list(self.active.items())
+                if n_emit is None or j < n_emit[slot]
+            }
+            if rows:
+                self._process_step(rows, step)
 
     # -- token processing ---------------------------------------------------
 
