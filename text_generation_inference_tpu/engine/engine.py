@@ -204,6 +204,10 @@ class InferenceEngine:
         embed_dim_dtype=None,
     ):
         self.spec = spec
+        if config.fuse_matmuls:
+            from ..models.fuse import fuse_params
+
+            params = fuse_params(spec, params)
         self.model_params = params
         self.config = config
         self.eos_token_id = eos_token_id

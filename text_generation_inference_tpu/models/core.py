@@ -357,13 +357,22 @@ def _unembed(spec: DecoderSpec, params: dict, x: jax.Array) -> jax.Array:
 
 def _qkv(spec: DecoderSpec, lp: dict, x: jax.Array):
     """x: [..., D] -> q [..., H, Dh], k/v [..., K, Dh]."""
-    q = linops.matmul(x, lp["wq"])
-    k = linops.matmul(x, lp["wk"])
-    v = linops.matmul(x, lp["wv"])
-    if spec.qkv_bias:
-        q = q + lp["bq"]
-        k = k + lp["bk"]
-        v = v + lp["bv"]
+    if "w_qkv" in lp:
+        qkv = linops.matmul(x, lp["w_qkv"])
+        if "b_qkv" in lp:
+            qkv = qkv + lp["b_qkv"]
+        qs, ks = spec.q_size, spec.kv_size
+        q = qkv[..., :qs]
+        k = qkv[..., qs:qs + ks]
+        v = qkv[..., qs + ks:]
+    else:
+        q = linops.matmul(x, lp["wq"])
+        k = linops.matmul(x, lp["wk"])
+        v = linops.matmul(x, lp["wv"])
+        if spec.qkv_bias:
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
     q = q.reshape(*x.shape[:-1], spec.num_heads, spec.head_dim)
     k = k.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)
     v = v.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)
@@ -378,14 +387,21 @@ def _attn_out(spec: DecoderSpec, lp: dict, attn: jax.Array) -> jax.Array:
 
 
 def _mlp(spec: DecoderSpec, lp: dict, x: jax.Array) -> jax.Array:
-    up = linops.matmul(x, lp["w_up"])
-    if spec.mlp_bias:
-        up = up + lp["b_up"]
-    gate = None
-    if spec.activation.endswith("_glu"):
-        gate = linops.matmul(x, lp["w_gate"])
+    if "w_gu" in lp:
+        gu = linops.matmul(x, lp["w_gu"])
+        if "b_gu" in lp:
+            gu = gu + lp["b_gu"]
+        f = spec.intermediate_size
+        gate, up = gu[..., :f], gu[..., f:]
+    else:
+        up = linops.matmul(x, lp["w_up"])
         if spec.mlp_bias:
-            gate = gate + lp["b_gate"]
+            up = up + lp["b_up"]
+        gate = None
+        if spec.activation.endswith("_glu"):
+            gate = linops.matmul(x, lp["w_gate"])
+            if spec.mlp_bias:
+                gate = gate + lp["b_gate"]
     h = _activate(spec, up, gate)
     out = linops.matmul(h, lp["w_down"])
     if spec.mlp_bias:

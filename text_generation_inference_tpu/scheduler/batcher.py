@@ -219,6 +219,7 @@ class Batcher:
         # speculative engines emit a variable number of valid positions per
         # slot (engine.last_n_emitted); plain engines emit all positions
         n_emit = getattr(self.engine, "last_n_emitted", None)
+        t_proc = time.monotonic()
         for j, step in enumerate(steps):
             # re-snapshot active each sub-step: requests that stop mid-chunk
             # must not consume the chunk's remaining (discarded) tokens
@@ -230,6 +231,13 @@ class Batcher:
             }
             if rows:
                 self._process_step(rows, step)
+        # host-side token processing time, split from device forward time
+        # (reference: tgi_batch_inference_tokproc_duration vs
+        # forward_duration, batcher.rs:700-713)
+        metrics.observe("tgi_batch_inference_tokproc_duration",
+                        time.monotonic() - t_proc, method="next_token")
+        metrics.observe("tgi_batch_inference_forward_duration",
+                        self.engine.last_forward_ns / 1e9, method="next_token")
 
     # -- token processing ---------------------------------------------------
 
@@ -338,8 +346,14 @@ class Batcher:
             self.engine.free(req.slot)
             self.active.pop(req.slot, None)
             req.slot = None
-        metrics.increment("tgi_request_count")
         metrics.observe("tgi_request_generated_tokens", req.generated_count)
+        metrics.observe("tgi_request_input_length", req.input_length)
+        metrics.observe("tgi_request_total_tokens",
+                        req.input_length + req.generated_count)
+        if req.start_time is not None and req.generated_count > 0:
+            metrics.observe("tgi_request_mean_time_per_token_duration",
+                            (time.monotonic() - req.start_time)
+                            / req.generated_count)
         if req.stop_reason == StopReason.CANCELLED:
             metrics.increment("tgi_request_cancelled")
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import signal
 
 import jax
@@ -31,6 +32,30 @@ DTYPES = {
     "float16": jnp.float16,
     "float32": jnp.float32,
 }
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host pod-slice initialization (SURVEY §2.6: first-class goal).
+
+    On a TPU pod slice each host runs this same process;
+    `jax.distributed.initialize` wires them into one logical device mesh
+    (coordinator from env). Single-host runs skip this. The reference is
+    single-host only (MASTER_ADDR=localhost assumed,
+    launcher/src/main.rs:73-76).
+    """
+    import os
+
+    if os.getenv("JAX_COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+        logger.info("jax.distributed initialized: process %s/%s",
+                    os.environ.get("JAX_PROCESS_ID", "0"),
+                    os.environ.get("JAX_NUM_PROCESSES", "1"))
 
 
 def build_engine(config: ServingConfig):
@@ -63,6 +88,14 @@ def build_engine(config: ServingConfig):
 
 
 async def async_serve(config: ServingConfig) -> None:
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.getenv("JAX_COMPILATION_CACHE_DIR",
+                                    "/root/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        logger.debug("compilation cache unavailable", exc_info=True)
+    maybe_init_distributed()
     engine, tokenizer, model_kind = build_engine(config)
     prompt_cache = None
     if config.prefix_store_path:
