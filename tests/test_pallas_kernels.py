@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from text_generation_inference_tpu.ops.pallas import decode_attention as da
 from text_generation_inference_tpu.ops.pallas import flash_prefill as fp
+from text_generation_inference_tpu.ops.pallas import paged_attention as pa
 
 
 def make_inputs(s=4, kh=2, g=4, d=64, t=512, seed=0, dtype=jnp.float32):
@@ -101,3 +102,43 @@ class TestFlashPrefill:
     def test_small_blocks(self):
         q, k, v, lengths = make_prefill_inputs(t=128, lengths=[128, 64], seed=4)
         self.check(q, k, v, lengths, block_q=32, block_k=64)
+
+
+class TestPagedAttention:
+    def make(self, s=3, kh=2, g=4, d=64, pages=16, page_size=64, seed=0):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(s, kh, g, d)), jnp.float32)
+        k_pool = jnp.asarray(
+            rng.normal(size=(pages * page_size, kh, d)), jnp.float32)
+        v_pool = jnp.asarray(
+            rng.normal(size=(pages * page_size, kh, d)), jnp.float32)
+        # each slot owns a random disjoint-ish set of pages
+        max_pages = 4
+        bt = rng.choice(pages, size=(s, max_pages), replace=False)
+        ctx = rng.integers(1, max_pages * page_size + 1, size=(s,))
+        return (q, k_pool, v_pool, jnp.asarray(bt, jnp.int32),
+                jnp.asarray(ctx, jnp.int32), page_size)
+
+    def test_matches_gather_reference(self):
+        q, kp, vp, bt, ctx, ps = self.make()
+        ref = pa.paged_decode_attention_reference(q, kp, vp, bt, ctx, ps)
+        got = pa.paged_decode_attention(q, kp, vp, bt, ctx, ps, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_single_page_contexts(self):
+        q, kp, vp, bt, _, ps = self.make(seed=2)
+        ctx = jnp.asarray([1, ps, ps // 2], jnp.int32)
+        ref = pa.paged_decode_attention_reference(q, kp, vp, bt, ctx, ps)
+        got = pa.paged_decode_attention(q, kp, vp, bt, ctx, ps, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_page_indirection_matters(self):
+        """Shuffling the block table must change results accordingly."""
+        q, kp, vp, bt, ctx, ps = self.make(seed=3)
+        shuffled = jnp.roll(bt, 1, axis=1)
+        a = pa.paged_decode_attention(q, kp, vp, bt, ctx, ps, interpret=True)
+        b = pa.paged_decode_attention(q, kp, vp, shuffled, ctx, ps,
+                                      interpret=True)
+        assert not np.allclose(np.asarray(a), np.asarray(b))

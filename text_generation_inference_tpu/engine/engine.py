@@ -223,6 +223,11 @@ class InferenceEngine:
         self.cache = KVCache.create(spec, self.num_slots, self.max_seq, cache_dtype)
         self.state = EngineState.create(self.num_slots, self.max_seq)
         self.free_slots: list[int] = list(range(self.num_slots))
+        # slots freed by the scheduler thread while a pipelined dispatch may
+        # be in flight; the device-side active-mask update is applied at the
+        # start of the NEXT engine call (same thread as the dispatch), so
+        # host code never touches possibly-donated buffers
+        self._pending_frees: list[int] = []
 
         self.decode_chunk = max(1, config.decode_chunk)
         if self.decode_chunk == 1:
@@ -248,9 +253,17 @@ class InferenceEngine:
         return self.free_slots.pop() if self.free_slots else None
 
     def free(self, slot: int) -> None:
-        """Release a slot. Host bookkeeping + one tiny device mask update."""
-        self.state = self.state._replace(active=self.state.active.at[slot].set(False))
+        """Release a slot (host bookkeeping only; the device mask update is
+        deferred to the next engine call — see _pending_frees)."""
+        self._pending_frees.append(slot)
         self.free_slots.append(slot)
+
+    def _apply_pending_frees(self) -> None:
+        if self._pending_frees:
+            slots = jnp.asarray(self._pending_frees, jnp.int32)
+            self._pending_frees = []
+            self.state = self.state._replace(
+                active=self.state.active.at[slots].set(False))
 
     # -- steps -------------------------------------------------------------
 
@@ -298,6 +311,7 @@ class InferenceEngine:
         """
         n = len(slots)
         assert n == len(token_ids) == len(request_params)
+        self._apply_pending_frees()
         for slot, rp in zip(slots, request_params):
             self.set_request_params(slot, rp)
         pe_list = prefix_embeds or [None] * n
@@ -388,6 +402,7 @@ class InferenceEngine:
     def decode_steps(self) -> list[StepResult]:
         """`decode_chunk` decode steps in one dispatch + one host fetch."""
         self.last_n_emitted = None   # every step row is valid for every slot
+        self._apply_pending_frees()
         t0 = time.monotonic_ns()
         self.cache, self.state, packed = self._decode_fn(
             self.model_params, self.cache, self.state)

@@ -108,6 +108,7 @@ class Seq2SeqEngine:
             spec, self.num_slots, self.max_dec, self.max_enc, dtype)
         self.state = EngineState.create(self.num_slots, self.max_dec)
         self.free_slots: list[int] = list(range(self.num_slots))
+        self._pending_frees: list[int] = []
 
         self._decode_fn = jax.jit(
             partial(_s2s_decode_step, spec, eos_token_id),
@@ -123,8 +124,15 @@ class Seq2SeqEngine:
         return self.free_slots.pop() if self.free_slots else None
 
     def free(self, slot: int) -> None:
-        self.state = self.state._replace(active=self.state.active.at[slot].set(False))
+        self._pending_frees.append(slot)
         self.free_slots.append(slot)
+
+    def _apply_pending_frees(self) -> None:
+        if self._pending_frees:
+            slots = jnp.asarray(self._pending_frees, jnp.int32)
+            self._pending_frees = []
+            self.state = self.state._replace(
+                active=self.state.active.at[slots].set(False))
 
     def set_request_params(self, slot: int, rp: RequestParams) -> None:
         self.state = self.state._replace(
@@ -139,6 +147,7 @@ class Seq2SeqEngine:
                 want_prompt_details: bool = False,
                 prefix_embeds=None) -> PrefillResult:
         n = len(slots)
+        self._apply_pending_frees()
         for slot, rp in zip(slots, request_params):
             self.set_request_params(slot, rp)
         max_len = max(len(t) for t in token_ids)
@@ -165,6 +174,7 @@ class Seq2SeqEngine:
         return PrefillResult(first_token=step, prompt_details=None)
 
     def decode(self) -> StepResult:
+        self._apply_pending_frees()
         t0 = time.monotonic_ns()
         self.dstate, self.state, packed = self._decode_fn(
             self.model_params, self.dstate, self.state)

@@ -172,6 +172,7 @@ class SpeculativeEngine(InferenceEngine):
             return super().prefill(slots, token_ids, request_params,
                                    want_prompt_details, prefix_embeds)
         n = len(slots)
+        self._apply_pending_frees()
         for slot, rp in zip(slots, request_params):
             self.set_request_params(slot, rp)
         max_len = max(len(t) for t in token_ids)
@@ -205,6 +206,7 @@ class SpeculativeEngine(InferenceEngine):
         a list of per-position StepResults with a validity mask applied via
         `emitted_mask` (rows beyond a slot's n_emit carry garbage; the
         batcher consults `last_n_emitted`)."""
+        self._apply_pending_frees()
         t0 = time.monotonic_ns()
         (self.cache, self.state, self.spec_hidden, packed,
          n_emit) = self._spec_decode_fn(

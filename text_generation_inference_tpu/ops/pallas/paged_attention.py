@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: decode attention over a paged KV pool.
+
+The paged variant of decode_attention.py (and the TPU replacement for the
+reference's fms_extras paged `attend()`, reference:
+paged_llama_modeling.py:227-268): KV lives in a flat page pool
+[P * page_size, K, D]; each slot's pages are named by a block table
+[S, max_pages]. The block table is a scalar-prefetch operand, so the KV
+block index map dereferences it directly — the kernel streams exactly the
+pages a slot owns, in order, and dead trailing pages clamp to the last live
+page (DMA elided by Mosaic's consecutive-identical-index rule).
+
+Shapes:
+  q:          [S, K, G, D]
+  k/v pool:   [P * page_size, K, D]
+  block_table:[S, max_pages] i32
+  ctx:        [S] i32 (live tokens per slot)
+  out:        [S, K, G, D]
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _kernel_per_head(ctx_ref, bt_ref, q_ref, k_ref, v_ref, o_ref,
+                     m_ref, l_ref, acc_ref, *, page_size: int, scale: float):
+    s = pl.program_id(0)
+    b = pl.program_id(2)
+    nb = pl.num_programs(2)
+    ctx = ctx_ref[s]
+
+    @pl.when(b == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(b * page_size < ctx)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)              # [G, D]
+        k = k_ref[:, 0, :].astype(jnp.float32)           # [page, D]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [G, page]
+        pos = b * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        scores = jnp.where(pos < ctx, scores, NEG_INF)
+
+        m_prev = m_ref[...]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        p = jnp.exp(scores - m_safe)
+        p = jnp.where(scores == NEG_INF, 0.0, p)
+        alpha = jnp.exp(m_prev - m_safe)
+        alpha = jnp.where(m_prev == NEG_INF, 0.0, alpha)
+
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[:, 0, :].astype(jnp.float32)           # [page, D]
+        v_valid = (b * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, v.shape, 0)) < ctx
+        v = jnp.where(v_valid, v, 0.0)
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = m_new
+
+    @pl.when(b == nb - 1)
+    def _finish():
+        denom = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0, 0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                           block_table: jax.Array, ctx: jax.Array,
+                           page_size: int, *, interpret: bool = False
+                           ) -> jax.Array:
+    """See module docstring. Returns [S, K, G, D]."""
+    s, kh, g, d = q.shape
+    max_pages = block_table.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    def q_index(si, ki, bi, ctx_ref, bt_ref):
+        return (si, ki, 0, 0)
+
+    def kv_index(si, ki, bi, ctx_ref, bt_ref):
+        last_live = jnp.maximum(pl.cdiv(ctx_ref[si], page_size) - 1, 0)
+        page = bt_ref[si, jnp.minimum(bi, last_live)]
+        return (page, ki, 0)
+
+    def o_index(si, ki, bi, ctx_ref, bt_ref):
+        return (si, ki, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, kh, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), q_index),
+            pl.BlockSpec((page_size, 1, d), kv_index),
+            pl.BlockSpec((page_size, 1, d), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), o_index),
+        scratch_shapes=[
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_kernel_per_head, page_size=page_size, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, kh, g, d), q.dtype),
+        interpret=interpret,
+    )
+    return kernel(ctx.astype(jnp.int32), block_table.astype(jnp.int32),
+                  q, k_pool, v_pool)
+
+
+def paged_decode_attention_reference(q, k_pool, v_pool, block_table, ctx,
+                                     page_size):
+    """XLA gather-based reference (also the CPU fallback path)."""
+    s, kh, g, d = q.shape
+    max_pages = block_table.shape[1]
+    # gather each slot's pages into contiguous [S, max_pages*page, K, D]
+    rows = (block_table[:, :, None] * page_size
+            + jnp.arange(page_size)[None, None, :]).reshape(s, -1)
+    k = jnp.take(k_pool, rows, axis=0)          # [S, T', K, D]
+    v = jnp.take(v_pool, rows, axis=0)
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("skgd,stkd->skgt", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    t = rows.shape[1]
+    mask = jnp.arange(t)[None, :] < ctx[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("skgt,stkd->skgd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)

@@ -61,6 +61,9 @@ class Batcher:
         self._stopping = False
         self.steps_since_prefill = 0
         self.healthy = True
+        # in-flight decode dispatch (pipelining: the device computes the next
+        # chunk while the host processes the previous one)
+        self._pending_decode = None
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -144,7 +147,7 @@ class Batcher:
         loop = asyncio.get_running_loop()
         while not self._stopping:
             self._reap_cancelled_queued()
-            if not self.active and not self.queue:
+            if self._pending_decode is None and not self.active and not self.queue:
                 self._wake.clear()
                 # nothing to do; wait for work
                 try:
@@ -154,11 +157,28 @@ class Batcher:
                 continue
 
             try:
+                if self._pending_decode is not None:
+                    # ALWAYS drain the in-flight decode before anything else
+                    # touches engine state (prefill would race it)
+                    steps = await self._pending_decode
+                    self._pending_decode = None
+                    # pipeline: dispatch the next chunk before host-side
+                    # processing unless a prefill looks due (conservative
+                    # check on the pre-processing snapshot; at worst the
+                    # prefill is delayed by one chunk)
+                    if self.active and self._should_prefill() is None:
+                        self._pending_decode = loop.run_in_executor(
+                            None, self._decode_call)
+                    self._handle_decode_results(steps)
+                    self.healthy = True
+                    continue
+
                 batch = self._should_prefill()
                 if batch:
                     await self._do_prefill(loop, batch)
                 elif self.active:
-                    await self._do_decode(loop)
+                    self._pending_decode = loop.run_in_executor(
+                        None, self._decode_call)
                 else:
                     # queued requests exist but none admissible right now
                     await asyncio.sleep(0.001)
@@ -166,6 +186,7 @@ class Batcher:
             except Exception:
                 logger.exception("batching loop error; failing in-flight requests")
                 self.healthy = False
+                self._pending_decode = None
                 metrics.increment("tgi_batch_inference_failure", reason="error")
                 self._fail_all("internal inference error")
 
@@ -206,19 +227,19 @@ class Batcher:
             self._emit_input_tokens(batch, result.prompt_details)
         self._process_step({i: r for i, r in enumerate(batch)}, result.first_token)
 
-    async def _do_decode(self, loop) -> None:
+    def _decode_call(self):
+        """Runs on the executor thread: one engine decode dispatch + fetch.
+        Returns (steps, n_emit) captured atomically with the call."""
         t0 = time.monotonic()
         decode_fn = getattr(self.engine, "decode_steps", None)
-        if decode_fn is not None:
-            steps = await loop.run_in_executor(None, decode_fn)
-        else:
-            steps = [await loop.run_in_executor(None, self.engine.decode)]
+        steps = decode_fn() if decode_fn is not None else [self.engine.decode()]
         metrics.observe("tgi_batch_inference_duration", time.monotonic() - t0,
                         method="next_token")
+        return steps, getattr(self.engine, "last_n_emitted", None)
+
+    def _handle_decode_results(self, result) -> None:
+        steps, n_emit = result
         self.steps_since_prefill += len(steps)
-        # speculative engines emit a variable number of valid positions per
-        # slot (engine.last_n_emitted); plain engines emit all positions
-        n_emit = getattr(self.engine, "last_n_emitted", None)
         t_proc = time.monotonic()
         for j, step in enumerate(steps):
             # re-snapshot active each sub-step: requests that stop mid-chunk
