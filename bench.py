@@ -43,10 +43,11 @@ def main():
             num_heads=32, num_kv_heads=4, head_dim=64,
             intermediate_size=5632, pos="rope", norm="rmsnorm",
             activation="silu_glu", norm_eps=1e-5)
-        num_slots, max_seq, dtype = 16, 1024, jnp.bfloat16
-        steps, warmup = 64, 8
+        num_slots = int(__import__("os").environ.get("BENCH_SLOTS", "48"))
+        max_seq, dtype = 1024, jnp.bfloat16
+        steps, warmup = 64, 32
         hbm_bw = 819e9      # v5e ~819 GB/s
-        decode_chunk = int(__import__("os").environ.get("DECODE_CHUNK", "16"))
+        decode_chunk = int(__import__("os").environ.get("DECODE_CHUNK", "32"))
     else:
         spec = DecoderSpec(
             vocab_size=1024, hidden_size=256, num_layers=4,
@@ -65,7 +66,14 @@ def main():
         prefill_buckets=[64, max_seq],
     )
     config.validate()
-    engine = InferenceEngine(spec, params, config, eos_token_id=2)
+    import os as _os
+    if _os.environ.get("BENCH_ENGINE") == "paged":
+        from text_generation_inference_tpu.engine.paged_engine import (
+            PagedInferenceEngine)
+
+        engine = PagedInferenceEngine(spec, params, config, eos_token_id=2)
+    else:
+        engine = InferenceEngine(spec, params, config, eos_token_id=2)
 
     rng = np.random.default_rng(0)
     prompt_len = 64
@@ -73,7 +81,7 @@ def main():
         s = engine.acquire_slot()
         engine.prefill(
             [s], [rng.integers(0, spec.vocab_size, size=prompt_len).tolist()],
-            [RequestParams(max_new_tokens=max_seq - prompt_len)])
+            [RequestParams(max_new_tokens=max_seq - prompt_len - 1)])
 
     # NOTE: decode_steps() ends with a host fetch of the packed outputs, so
     # each timed call is fully synchronized — no block_until_ready (which is

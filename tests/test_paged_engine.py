@@ -1,0 +1,141 @@
+"""Paged-KV engine: exact equivalence with the contiguous slot engine +
+page accounting behaviors."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from text_generation_inference_tpu.config import ServingConfig
+from text_generation_inference_tpu.engine.engine import (
+    InferenceEngine,
+    RequestParams,
+)
+from text_generation_inference_tpu.engine.paged_cache import PageAllocator
+from text_generation_inference_tpu.engine.paged_engine import PagedInferenceEngine
+from text_generation_inference_tpu.models import families
+from tests import fixtures
+
+PROMPTS = [
+    [5, 9, 23, 77, 41],
+    [100, 3, 250, 17, 88, 91, 12],
+    [7, 7, 7],
+]
+
+
+def make_config(**kw):
+    cfg = ServingConfig(
+        max_sequence_length=64, max_new_tokens=32, max_batch_slots=3,
+        prefill_buckets=[8, 16], kv_page_size=8, **kw)
+    cfg.validate()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def llama():
+    return families.load_model(fixtures.tiny_llama(), dtype=jnp.float32)
+
+
+def run_engine(engine, prompt, n_tokens, rp=None):
+    slot = engine.acquire_slot()
+    res = engine.prefill([slot], [prompt], [rp or RequestParams(max_new_tokens=n_tokens)])
+    toks = [int(res.first_token.next_ids[0])]
+    while len(toks) < n_tokens:
+        for step in engine.decode_steps():
+            toks.append(int(step.next_ids[slot]))
+    engine.free(slot)
+    return toks[:n_tokens]
+
+
+class TestAllocator:
+    def test_alloc_free_roundtrip(self):
+        a = PageAllocator(num_pages=10, page_size=8, max_pages_per_slot=5)
+        assert a.pages_needed(1) == 1
+        assert a.pages_needed(8) == 1
+        assert a.pages_needed(9) == 2
+        p = a.allocate(0, 20)
+        assert len(p) == 3 and a.num_free == 7
+        a.free(0)
+        assert a.num_free == 10
+
+    def test_exhaustion(self):
+        a = PageAllocator(num_pages=4, page_size=8, max_pages_per_slot=4)
+        a.allocate(0, 24)
+        assert not a.can_allocate(16)
+        with pytest.raises(RuntimeError):
+            a.allocate(1, 16)
+
+    def test_per_slot_cap(self):
+        a = PageAllocator(num_pages=100, page_size=8, max_pages_per_slot=2)
+        assert not a.can_allocate(17)
+
+    def test_row_indices(self):
+        a = PageAllocator(num_pages=10, page_size=4, max_pages_per_slot=5)
+        rows = a.row_indices([7, 2], length=6)
+        np.testing.assert_array_equal(rows, [28, 29, 30, 31, 8, 9])
+
+
+class TestPagedVsContiguous:
+    def test_greedy_identical(self, llama):
+        spec, params = llama
+        plain = InferenceEngine(spec, params, make_config(), eos_token_id=2)
+        paged = PagedInferenceEngine(spec, params, make_config(),
+                                     eos_token_id=2, num_pages=64)
+        for prompt in PROMPTS:
+            a = run_engine(plain, prompt, 12)
+            b = run_engine(paged, prompt, 12)
+            assert a == b, f"paged diverged for {prompt}"
+
+    def test_sampling_identical(self, llama):
+        spec, params = llama
+        rp = RequestParams(temperature=0.9, top_p=0.9, seed=7,
+                           max_new_tokens=10)
+        plain = InferenceEngine(spec, params, make_config(), eos_token_id=2)
+        paged = PagedInferenceEngine(spec, params, make_config(),
+                                     eos_token_id=2, num_pages=64)
+        assert run_engine(plain, PROMPTS[0], 10, rp) == \
+            run_engine(paged, PROMPTS[0], 10, rp)
+
+    def test_concurrent_slots_page_isolation(self, llama):
+        """Interleaved requests on disjoint page sets must not interfere."""
+        spec, params = llama
+        paged = PagedInferenceEngine(spec, params, make_config(),
+                                     eos_token_id=2, num_pages=64)
+        iso = {i: run_engine(paged, p, 8) for i, p in enumerate(PROMPTS)}
+        slots, outs = {}, {i: [] for i in range(len(PROMPTS))}
+        for i, p in enumerate(PROMPTS):
+            s = paged.acquire_slot()
+            slots[i] = s
+            res = paged.prefill([s], [p], [RequestParams(max_new_tokens=8)])
+            outs[i].append(int(res.first_token.next_ids[0]))
+        for _ in range(7):
+            step = paged.decode_steps()[0]
+            for i, s in slots.items():
+                outs[i].append(int(step.next_ids[s]))
+        for i in range(len(PROMPTS)):
+            assert outs[i] == iso[i]
+        # pages come back on free
+        before = paged.allocator.num_free
+        for s in slots.values():
+            paged.free(s)
+        assert paged.allocator.num_free > before
+
+    def test_chunked_decode(self, llama):
+        spec, params = llama
+        paged1 = PagedInferenceEngine(spec, params, make_config(),
+                                      eos_token_id=2, num_pages=64)
+        paged4 = PagedInferenceEngine(spec, params,
+                                      make_config(decode_chunk=4),
+                                      eos_token_id=2, num_pages=64)
+        assert run_engine(paged1, PROMPTS[1], 12) == \
+            run_engine(paged4, PROMPTS[1], 12)
+
+    def test_page_reuse_after_free(self, llama):
+        """Freed pages reused by a new request must not leak stale KV."""
+        spec, params = llama
+        paged = PagedInferenceEngine(spec, params, make_config(),
+                                     eos_token_id=2, num_pages=16)
+        baseline = run_engine(paged, PROMPTS[0], 8)
+        run_engine(paged, PROMPTS[1], 8)   # churn the pool
+        run_engine(paged, PROMPTS[2], 8)
+        assert run_engine(paged, PROMPTS[0], 8) == baseline

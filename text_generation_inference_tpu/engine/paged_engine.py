@@ -1,0 +1,281 @@
+"""Paged-KV inference engine: page-pool capacity instead of slot-length
+reservation.
+
+Counterpart of the reference's PagedCausalLM (reference:
+server/.../models/paged_causal_lm.py): the KV pool is sized from the HBM
+budget (reference derives total_num_gpu_blocks from the fitted memory model,
+paged_causal_lm.py:308-336 — here it is closed-form), requests reserve
+exactly ceil((input + max_new) / page_size) pages at admission, and the
+scheduler's admission question becomes "are there enough free pages", the
+token-weight cost model of the reference's router (batch_types.rs FlashBatch)
+realized as page accounting.
+
+Host-facing interface matches InferenceEngine, plus `has_capacity()` which
+the batcher consults before admitting.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ServingConfig
+from ..models import core, paged_core
+from ..models.core import DecoderSpec
+from . import sampling
+from .engine import EngineState, PrefillResult, RequestParams, StepResult
+from .memory import device_hbm_bytes, tree_bytes
+from .paged_cache import PageAllocator, PagedKVCache
+
+logger = logging.getLogger(__name__)
+
+
+def _paged_decode_step(spec: DecoderSpec, eos_id: int, page_size: int,
+                       params: dict, cache: PagedKVCache, state: EngineState):
+    s, t_max = state.history.shape
+    rows = jnp.arange(s)
+    pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
+    ids = state.history[rows, pos]
+    logits, cache = paged_core.decode_paged(
+        spec, params, ids, pos, cache, pos + 1, page_size)
+    next_ids, details = sampling.next_tokens(
+        logits, state.params, state.gen_count, state.history,
+        state.history_len, eos_id, history_start=state.hist_start)
+    active = state.active
+    write_pos = jnp.clip(state.history_len, 0, t_max - 1)
+    new_hist = state.history.at[rows, write_pos].set(
+        jnp.where(active, next_ids, state.history[rows, write_pos]))
+    state = state._replace(
+        history=new_hist,
+        history_len=state.history_len + active.astype(jnp.int32),
+        gen_count=state.gen_count + active.astype(jnp.int32),
+    )
+    return cache, state, sampling.pack_step_outputs(next_ids, details)
+
+
+def _paged_decode_multi(spec, eos_id, page_size, num_steps,
+                        params, cache, state):
+    def body(carry, _):
+        cache, state = carry
+        cache, state, packed = _paged_decode_step(
+            spec, eos_id, page_size, params, cache, state)
+        return (cache, state), packed
+
+    (cache, state), packed_seq = jax.lax.scan(
+        body, (cache, state), None, length=num_steps)
+    return cache, state, packed_seq
+
+
+def _paged_prefill_step(spec: DecoderSpec, eos_id: int, page_size: int,
+                        params: dict, cache: PagedKVCache, state: EngineState,
+                        ids: jax.Array, lengths: jax.Array, slots: jax.Array,
+                        prefix_len: jax.Array,
+                        prefix_embeds: Optional[jax.Array] = None):
+    n, b = ids.shape
+    t_max = state.history.shape[1]
+    logits_all, cache = paged_core.prefill_paged(
+        spec, params, ids, lengths, slots, cache, page_size,
+        prefix_embeds=prefix_embeds,
+        prefix_len=prefix_len if prefix_embeds is not None else None)
+    rows = jnp.arange(n)
+    last_logits = logits_all[rows, lengths - 1]
+
+    req_params = state.params.gather(slots)
+    next_ids, details = sampling.next_tokens(
+        last_logits, req_params, jnp.zeros((n,), jnp.int32),
+        ids, lengths, eos_id, history_start=prefix_len)
+
+    hist = state.history
+    hist = hist.at[slots[:, None], jnp.arange(b)[None, :]].set(ids, mode="drop")
+    hist = hist.at[slots, jnp.clip(lengths, 0, t_max - 1)].set(next_ids,
+                                                               mode="drop")
+    state = state._replace(
+        history=hist,
+        history_len=state.history_len.at[slots].set(lengths + 1),
+        hist_start=state.hist_start.at[slots].set(prefix_len),
+        input_len=state.input_len.at[slots].set(lengths),
+        gen_count=state.gen_count.at[slots].set(1),
+        active=state.active.at[slots].set(True),
+    )
+    return cache, state, sampling.pack_step_outputs(next_ids, details)
+
+
+class PagedInferenceEngine:
+    """Slot batch + paged KV pool; admission is page accounting."""
+
+    def __init__(self, spec: DecoderSpec, params: dict, config: ServingConfig,
+                 eos_token_id: int, num_pages: Optional[int] = None):
+        self.spec = spec
+        if config.fuse_matmuls:
+            from ..models.fuse import fuse_params
+
+            params = fuse_params(spec, params)
+        self.model_params = params
+        self.config = config
+        self.eos_token_id = eos_token_id
+        self.num_slots = config.max_batch_slots
+        self.max_seq = config.max_sequence_length
+        self.page_size = config.kv_page_size
+
+        dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        if num_pages is None:
+            num_pages = self._pool_size_from_hbm(dtype)
+        max_pages_per_slot = -(-self.max_seq // self.page_size)
+        self.allocator = PageAllocator(num_pages, self.page_size,
+                                       max_pages_per_slot)
+        self.cache = PagedKVCache.create(
+            spec, num_pages, self.page_size, self.num_slots,
+            max_pages_per_slot, dtype)
+        self.state = EngineState.create(self.num_slots, self.max_seq)
+        self.free_slots: list[int] = list(range(self.num_slots))
+        self._pending_frees: list[int] = []
+        # host mirror of the block table (avoids a device fetch per prefill)
+        self._bt_host = np.zeros((self.num_slots, max_pages_per_slot), np.int32)
+
+        logger.info("paged KV pool: %d pages x %d tokens (%.2f GiB)",
+                    num_pages, self.page_size,
+                    2 * tree_bytes({"k": self.cache.k}) / 1024 ** 3)
+
+        self.decode_chunk = max(1, config.decode_chunk)
+        if self.decode_chunk == 1:
+            self._decode_fn = jax.jit(
+                partial(_paged_decode_step, spec, eos_token_id, self.page_size),
+                donate_argnums=(1, 2))
+        else:
+            self._decode_fn = jax.jit(
+                partial(_paged_decode_multi, spec, eos_token_id,
+                        self.page_size, self.decode_chunk),
+                donate_argnums=(1, 2))
+        self._prefill_fns: dict[Any, Any] = {}
+        self.last_forward_ns = 0
+        self.last_n_emitted = None
+
+    def _pool_size_from_hbm(self, dtype) -> int:
+        hbm = device_hbm_bytes()
+        bytes_per_page = (self.spec.num_layers * 2 * self.page_size
+                          * self.spec.num_kv_heads * self.spec.head_dim
+                          * jnp.dtype(dtype).itemsize)
+        params_b = tree_bytes(self.model_params)
+        bucket = self.config.prefill_buckets[-1]
+        act = bucket * (self.spec.hidden_size * 6
+                        + self.spec.intermediate_size * 3) * 4
+        act += bucket * self.spec.vocab_size * 4
+        usable = int(hbm * (1 - self.config.batch_safety_margin)) \
+            - params_b - act
+        pages = max(usable // bytes_per_page,
+                    self.num_slots * 2)
+        # at least enough for one max-length sequence
+        return int(max(pages, -(-self.max_seq // self.page_size)))
+
+    # -- capacity -----------------------------------------------------------
+
+    @property
+    def num_active(self) -> int:
+        return self.num_slots - len(self.free_slots)
+
+    def has_capacity(self, total_tokens: int) -> bool:
+        return bool(self.free_slots) and self.allocator.can_allocate(total_tokens)
+
+    def acquire_slot(self) -> Optional[int]:
+        return self.free_slots.pop() if self.free_slots else None
+
+    def free(self, slot: int) -> None:
+        self._pending_frees.append(slot)
+        self.free_slots.append(slot)
+        self.allocator.free(slot)
+
+    def _apply_pending_frees(self) -> None:
+        if self._pending_frees:
+            slots = jnp.asarray(self._pending_frees, jnp.int32)
+            self._pending_frees = []
+            self.state = self.state._replace(
+                active=self.state.active.at[slots].set(False))
+
+    # -- steps --------------------------------------------------------------
+
+    def set_request_params(self, slot: int, rp: RequestParams) -> None:
+        self.state = self.state._replace(
+            params=self.state.params.write_slot(
+                slot, temperature=rp.temperature, top_k=rp.top_k,
+                top_p=rp.top_p, typical_p=rp.typical_p,
+                repetition_penalty=rp.repetition_penalty,
+                lp_start=rp.lp_start, lp_decay=rp.lp_decay,
+                min_new_tokens=rp.min_new_tokens, seed=rp.seed))
+
+    def prefill(self, slots, token_ids, request_params,
+                want_prompt_details: bool = False,
+                prefix_embeds=None) -> PrefillResult:
+        n = len(slots)
+        self._apply_pending_frees()
+        pe_list = prefix_embeds or [None] * n
+        pe_list = [getattr(p, "decoder", p) for p in pe_list]
+        prefix_lens = [0 if p is None else int(p.shape[0]) for p in pe_list]
+        total_lens = [pl + len(t) for pl, t in zip(prefix_lens, token_ids)]
+        # allocate pages for the whole potential sequence of each request
+        for slot, total, rp in zip(slots, total_lens, request_params):
+            pages = self.allocator.allocate(
+                slot, total + rp.max_new_tokens + 1)
+            row = np.zeros((self.allocator.max_pages_per_slot,), np.int32)
+            row[: len(pages)] = pages
+            self._bt_host[slot] = row
+            self.set_request_params(slot, rp)
+        self.cache = self.cache._replace(block_table=jnp.asarray(self._bt_host))
+
+        bucket = self.config.bucket_for(max(total_lens))
+        ids = np.zeros((n, bucket), np.int32)
+        lengths = np.asarray(total_lens, np.int32)
+        for i, toks in enumerate(token_ids):
+            ids[i, prefix_lens[i]: prefix_lens[i] + len(toks)] = toks
+        has_prefix = any(prefix_lens)
+        embeds_arg = None
+        if has_prefix:
+            dim = self.spec.hidden_size
+            embeds = np.zeros((n, bucket, dim), np.float32)
+            for i, pe in enumerate(pe_list):
+                if pe is not None:
+                    embeds[i, : pe.shape[0]] = pe
+            embeds_arg = jnp.asarray(embeds)
+
+        key = (n, bucket, has_prefix)
+        fn = self._prefill_fns.get(key)
+        if fn is None:
+            fn = jax.jit(partial(_paged_prefill_step, self.spec,
+                                 self.eos_token_id, self.page_size),
+                         donate_argnums=(1, 2))
+            self._prefill_fns[key] = fn
+        t0 = time.monotonic_ns()
+        args = [self.model_params, self.cache, self.state,
+                jnp.asarray(ids), jnp.asarray(lengths),
+                jnp.asarray(slots, jnp.int32),
+                jnp.asarray(prefix_lens, jnp.int32)]
+        if has_prefix:
+            args.append(embeds_arg)
+        self.cache, self.state, packed = fn(*args)
+        packed = jax.device_get(packed)
+        step = StepResult(*sampling.unpack_step_outputs(packed))
+        self.last_forward_ns = time.monotonic_ns() - t0
+        return PrefillResult(first_token=step, prompt_details=None)
+
+    def decode(self) -> StepResult:
+        return self.decode_steps()[0]
+
+    def decode_steps(self) -> list[StepResult]:
+        self.last_n_emitted = None
+        self._apply_pending_frees()
+        t0 = time.monotonic_ns()
+        self.cache, self.state, packed = self._decode_fn(
+            self.model_params, self.cache, self.state)
+        packed = jax.device_get(packed)
+        if self.decode_chunk == 1:
+            results = [StepResult(*sampling.unpack_step_outputs(packed))]
+        else:
+            results = [StepResult(*sampling.unpack_step_outputs(packed[i]))
+                       for i in range(self.decode_chunk)]
+        self.last_forward_ns = time.monotonic_ns() - t0
+        return results

@@ -107,15 +107,28 @@ class Batcher:
         now = time.monotonic()
         chosen: list[GenRequest] = []
         lens: list[int] = []
+        # paged engines meter KV capacity in pages (the reference's
+        # token-weight admission, batch_types.rs); slot engines reserve full
+        # slots so only the slot count limits
+        alloc = getattr(self.engine, "allocator", None)
+        reserved_pages = 0
         for req in list(self.queue):
             if len(chosen) >= free:
                 break
             if req.cancelled:
                 continue
             total_len = req.prefix_length + req.input_length
-            if self._padding_ok(lens + [total_len]):
+            budget = total_len + req.params.max_new_tokens + 1
+            fits = True
+            need = 0
+            if alloc is not None:
+                need = alloc.pages_needed(budget)
+                fits = (reserved_pages + need <= alloc.num_free
+                        and need <= alloc.max_pages_per_slot)
+            if fits and self._padding_ok(lens + [total_len]):
                 chosen.append(req)
                 lens.append(total_len)
+                reserved_pages += need
             elif now - req.queue_time >= QUEUE_JUMP_CUTOFF_S:
                 # fairness: an old entry may not be jumped over
                 break

@@ -83,7 +83,20 @@ def build_engine(config: ServingConfig):
         return engine, tokenizer, "encoder_decoder"
 
     spec, params = families.load_model(config.model_name, dtype=dtype)
-    engine = InferenceEngine(spec, params, config, eos_token_id=eos)
+    # engine selection mirrors the reference's PAGED_ATTENTION / speculator
+    # dispatch (reference: models/__init__.py:48-136, SPECULATOR_* envs)
+    if os.getenv("PAGED_ATTENTION", "").lower() in ("1", "true"):
+        from ..engine.paged_engine import PagedInferenceEngine
+
+        engine = PagedInferenceEngine(spec, params, config, eos_token_id=eos)
+    elif os.getenv("SPECULATOR", "").lower() in ("1", "true"):
+        from ..engine.speculative import SpeculativeEngine
+
+        engine = SpeculativeEngine(
+            spec, params, config, eos_token_id=eos,
+            n_predict=int(os.getenv("SPECULATOR_N_PREDICT", "3")))
+    else:
+        engine = InferenceEngine(spec, params, config, eos_token_id=eos)
     return engine, tokenizer, "decoder"
 
 
