@@ -77,6 +77,42 @@ def propose(spec: SpeculatorSpec, params: dict, hidden: jax.Array,
     return jnp.stack(out, axis=1)
 
 
+def load_speculator(path: str, dtype=jnp.bfloat16
+                    ) -> tuple[SpeculatorSpec, dict]:
+    """Load an fms_extras-style MLPSpeculator checkpoint (the weights the
+    reference consumes, reference: paged_causal_lm.py speculator loading):
+    tensors named emb.{i}.weight, proj.{i}.weight, head.{i}.weight,
+    ln.{i}.weight/bias plus a config.json with n_predict/inner_dim."""
+    import json
+    from pathlib import Path
+
+    from ..utils.weights import Weights
+
+    p = Path(path)
+    cfg = json.loads((p / "config.json").read_text())
+    w = Weights(p)
+    n_predict = cfg.get("n_predict", 3)
+    spec = SpeculatorSpec(
+        vocab_size=cfg["vocab_size"],
+        model_dim=cfg.get("emb_dim") or cfg["model_dim"],
+        inner_dim=int(cfg.get("inner_dim") or cfg["model_dim"]),
+        n_predict=n_predict,
+    )
+    params = {
+        "emb": [jnp.asarray(w.get(f"emb.{i}.weight"), dtype)
+                for i in range(n_predict)],
+        "w_state": [jnp.asarray(w.get(f"proj.{i}.weight").T, dtype)
+                    for i in range(n_predict)],
+        "ln_scale": [jnp.asarray(w.get(f"ln.{i}.weight"), dtype)
+                     for i in range(n_predict)],
+        "ln_bias": [jnp.asarray(w.get(f"ln.{i}.bias"), dtype)
+                    for i in range(n_predict)],
+        "head": [jnp.asarray(w.get(f"head.{i}.weight").T, dtype)
+                 for i in range(n_predict)],
+    }
+    return spec, params
+
+
 def accept_longest_prefix(draft: jax.Array, verified_argmax: jax.Array
                           ) -> jax.Array:
     """Number of accepted draft tokens per slot.

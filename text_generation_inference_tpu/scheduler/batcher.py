@@ -391,6 +391,13 @@ class Batcher:
         if req.stop_reason == StopReason.CANCELLED:
             metrics.increment("tgi_request_cancelled")
 
+        duration = (time.monotonic() - req.start_time) if req.start_time else 0.0
+        logger.info(
+            "request %d finished: input_tokens=%d generated=%d "
+            "stop_reason=%s duration=%.3fs",
+            req.id, req.input_length, req.generated_count,
+            req.stop_reason.name, duration)
+
         if req.streaming and req.stream_queue is not None:
             final_text = req.unstreamed_text(final=True)
             req.stream_queue.put_nowait(("final", last_rec, final_text, req.stop_reason))
