@@ -71,7 +71,11 @@ def main():
         from text_generation_inference_tpu.engine.paged_engine import (
             PagedInferenceEngine)
 
-        engine = PagedInferenceEngine(spec, params, config, eos_token_id=2)
+        pool_pages = int(_os.environ.get(
+            "BENCH_POOL_PAGES",
+            str(num_slots * (max_seq // config.kv_page_size) + 64)))
+        engine = PagedInferenceEngine(spec, params, config, eos_token_id=2,
+                                      num_pages=pool_pages)
     else:
         engine = InferenceEngine(spec, params, config, eos_token_id=2)
 

@@ -61,6 +61,34 @@ class TestTensorParallel:
         np.testing.assert_allclose(got_prefill, ref_prefill, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(got_decode, ref_decode, rtol=1e-5, atol=1e-5)
 
+    def test_engine_level_tp_matches_single_device(self, params):
+        """Full engine (prefill + decode + sampling) over a TP mesh must
+        reproduce the single-device token stream."""
+        from text_generation_inference_tpu.config import ServingConfig
+        from text_generation_inference_tpu.engine.engine import (
+            InferenceEngine, RequestParams)
+
+        def make(mesh):
+            cfg = ServingConfig(
+                max_sequence_length=32, max_new_tokens=16, max_batch_slots=2,
+                prefill_buckets=[8, 16])
+            cfg.validate()
+            return InferenceEngine(SPEC, params, cfg, eos_token_id=2,
+                                   mesh=mesh)
+
+        def run(engine, prompt, n):
+            slot = engine.acquire_slot()
+            res = engine.prefill([slot], [prompt], [RequestParams()])
+            toks = [int(res.first_token.next_ids[0])]
+            for _ in range(n - 1):
+                toks.append(int(engine.decode().next_ids[slot]))
+            return toks
+
+        prompt = [3, 1, 4, 1, 5, 9]
+        single = run(make(None), prompt, 10)
+        tp = run(make(shd.make_mesh(model_parallel=4)), prompt, 10)
+        assert tp == single
+
     def test_mqa_cache_falls_back_to_replicated(self):
         mqa = DecoderSpec(
             vocab_size=512, hidden_size=128, num_layers=2, num_heads=8,

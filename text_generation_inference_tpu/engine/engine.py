@@ -201,9 +201,15 @@ class InferenceEngine:
         params: dict,
         config: ServingConfig,
         eos_token_id: int,
-        embed_dim_dtype=None,
+        mesh=None,
     ):
         self.spec = spec
+        self.mesh = mesh
+        model_parallel = 1 if mesh is None else mesh.shape.get("model", 1)
+        if model_parallel > 1:
+            # a fused column-sharded qkv would split across projection
+            # boundaries (see models/fuse.py) — keep projections separate
+            config.fuse_matmuls = False
         if config.fuse_matmuls:
             from ..models.fuse import fuse_params
 
@@ -222,6 +228,13 @@ class InferenceEngine:
         self.max_seq = config.max_sequence_length
         self.cache = KVCache.create(spec, self.num_slots, self.max_seq, cache_dtype)
         self.state = EngineState.create(self.num_slots, self.max_seq)
+        if mesh is not None:
+            from ..parallel import sharding as shd
+
+            specs = shd.param_specs(spec, self.model_params, mesh)
+            self.model_params = shd.shard_params(self.model_params, specs, mesh)
+            self.cache = shd.shard_cache(self.cache, spec, mesh)
+            self.state = shd.replicate(self.state, mesh)
         self.free_slots: list[int] = list(range(self.num_slots))
         # slots freed by the scheduler thread while a pipelined dispatch may
         # be in flight; the device-side active-mask update is applied at the

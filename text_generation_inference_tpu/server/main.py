@@ -83,11 +83,23 @@ def build_engine(config: ServingConfig):
         return engine, tokenizer, "encoder_decoder"
 
     spec, params = families.load_model(config.model_name, dtype=dtype)
+    # tensor parallelism: shard over all local (or TENSOR_PARALLEL) devices
+    mesh = None
+    n_dev = len(jax.devices())
+    tp = int(os.getenv("TENSOR_PARALLEL", str(n_dev)))
+    if tp > 1:
+        from ..parallel.sharding import make_mesh
+
+        mesh = make_mesh(model_parallel=tp)
+        logger.info("tensor parallel over %d devices", tp)
     # engine selection mirrors the reference's PAGED_ATTENTION / speculator
     # dispatch (reference: models/__init__.py:48-136, SPECULATOR_* envs)
     if os.getenv("PAGED_ATTENTION", "").lower() in ("1", "true"):
         from ..engine.paged_engine import PagedInferenceEngine
 
+        if mesh is not None:
+            logger.warning("paged engine does not shard yet; running "
+                           "single-device (unset PAGED_ATTENTION for TP)")
         engine = PagedInferenceEngine(spec, params, config, eos_token_id=eos)
     elif os.getenv("SPECULATOR", "").lower() in ("1", "true"):
         from ..engine.speculative import SpeculativeEngine
@@ -96,7 +108,8 @@ def build_engine(config: ServingConfig):
             spec, params, config, eos_token_id=eos,
             n_predict=int(os.getenv("SPECULATOR_N_PREDICT", "3")))
     else:
-        engine = InferenceEngine(spec, params, config, eos_token_id=eos)
+        engine = InferenceEngine(spec, params, config, eos_token_id=eos,
+                                 mesh=mesh)
     return engine, tokenizer, "decoder"
 
 
@@ -156,4 +169,10 @@ def serve(config: ServingConfig) -> None:
     logging.basicConfig(
         level=getattr(logging, config.log_level.upper(), logging.INFO),
         format="%(asctime)s %(levelname)s %(name)s %(message)s")
-    asyncio.run(async_serve(config))
+    try:
+        asyncio.run(async_serve(config))
+    except Exception as e:
+        from ..utils.termination import write_termination_log
+
+        write_termination_log(f"serving failed: {type(e).__name__}: {e}")
+        raise
