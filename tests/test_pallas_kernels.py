@@ -108,10 +108,11 @@ class TestPagedAttention:
     def make(self, s=3, kh=2, g=4, d=64, pages=16, page_size=64, seed=0):
         rng = np.random.default_rng(seed)
         q = jnp.asarray(rng.normal(size=(s, kh, g, d)), jnp.float32)
+        # head-major pool layout [K, P*page, D]
         k_pool = jnp.asarray(
-            rng.normal(size=(pages * page_size, kh, d)), jnp.float32)
+            rng.normal(size=(kh, pages * page_size, d)), jnp.float32)
         v_pool = jnp.asarray(
-            rng.normal(size=(pages * page_size, kh, d)), jnp.float32)
+            rng.normal(size=(kh, pages * page_size, d)), jnp.float32)
         # each slot owns a random disjoint-ish set of pages
         max_pages = 4
         bt = rng.choice(pages, size=(s, max_pages), replace=False)

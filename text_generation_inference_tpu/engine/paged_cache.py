@@ -27,7 +27,8 @@ from ..models.core import DecoderSpec
 
 
 class PagedKVCache(NamedTuple):
-    """k/v pools: [L, P * page_size, K, D] (flat page-major rows)."""
+    """k/v pools: [L, K, P * page_size, D] — head-major so Pallas KV blocks
+    are (1, page_size, D), satisfying TPU tiling constraints."""
 
     k: jax.Array
     v: jax.Array
@@ -36,8 +37,8 @@ class PagedKVCache(NamedTuple):
     @classmethod
     def create(cls, spec: DecoderSpec, num_pages: int, page_size: int,
                num_slots: int, max_pages_per_slot: int, dtype) -> "PagedKVCache":
-        shape = (spec.num_layers, num_pages * page_size,
-                 spec.num_kv_heads, spec.head_dim)
+        shape = (spec.num_layers, spec.num_kv_heads,
+                 num_pages * page_size, spec.head_dim)
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),

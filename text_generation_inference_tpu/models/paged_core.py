@@ -76,14 +76,14 @@ def decode_paged(
     use_kernel = _use_kernel() and spec.pos != "alibi"
 
     def layer(x, inputs):
-        lp, kp, vp = inputs                       # pools [P*page, K, D]
+        lp, kp, vp = inputs                       # pools [K, P*page, D]
         h = _norm(spec, lp["ln1"], x)
         q, k, v = _qkv(spec, lp, h)               # q [S,H,Dh]; k/v [S,K,Dh]
         if cos is not None:
             q = _apply_rope(spec, q, cos, sin)
             k = _apply_rope(spec, k, cos, sin)
-        kp = kp.at[write_rows].set(k.astype(kp.dtype))
-        vp = vp.at[write_rows].set(v.astype(vp.dtype))
+        kp = kp.at[:, write_rows].set(k.transpose(1, 0, 2).astype(kp.dtype))
+        vp = vp.at[:, write_rows].set(v.transpose(1, 0, 2).astype(vp.dtype))
 
         qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
         if use_kernel:
@@ -153,7 +153,7 @@ def prefill_paged(
         bias = None
 
     # flat pool rows for every (row, position); invalid positions dropped
-    pool_rows = cache.k.shape[1]
+    pool_rows = cache.k.shape[2]
     pages = bt[slots[:, None], positions // page_size]       # [N, T]
     flat = pages * page_size + positions % page_size
     flat = jnp.where(key_valid, flat, pool_rows)             # OOB -> dropped
@@ -186,12 +186,12 @@ def prefill_paged(
             h2 = _norm(spec, lp["ln2"], x)
             x = x + _mlp(spec, lp, h2)
 
-        kp = kp.at[flat].set(
-            k.reshape(-1, spec.num_kv_heads, spec.head_dim).astype(kp.dtype),
-            mode="drop")
-        vp = vp.at[flat].set(
-            v.reshape(-1, spec.num_kv_heads, spec.head_dim).astype(vp.dtype),
-            mode="drop")
+        k_rows = k.reshape(-1, spec.num_kv_heads, spec.head_dim)
+        v_rows = v.reshape(-1, spec.num_kv_heads, spec.head_dim)
+        kp = kp.at[:, flat].set(
+            k_rows.transpose(1, 0, 2).astype(kp.dtype), mode="drop")
+        vp = vp.at[:, flat].set(
+            v_rows.transpose(1, 0, 2).astype(vp.dtype), mode="drop")
         return x, (kp, vp)
 
     x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))

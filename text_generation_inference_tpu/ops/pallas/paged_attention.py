@@ -9,9 +9,10 @@ block index map dereferences it directly — the kernel streams exactly the
 pages a slot owns, in order, and dead trailing pages clamp to the last live
 page (DMA elided by Mosaic's consecutive-identical-index rule).
 
-Shapes:
+Shapes (pool is HEAD-MAJOR so KV blocks satisfy TPU tiling — a block is
+(1, page_size, D) with page_size % 8 == 0 and D equal to the array dim):
   q:          [S, K, G, D]
-  k/v pool:   [P * page_size, K, D]
+  k/v pool:   [K, P * page_size, D]
   block_table:[S, max_pages] i32
   ctx:        [S] i32 (live tokens per slot)
   out:        [S, K, G, D]
@@ -46,7 +47,7 @@ def _kernel_per_head(ctx_ref, bt_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(b * page_size < ctx)
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)              # [G, D]
-        k = k_ref[:, 0, :].astype(jnp.float32)           # [page, D]
+        k = k_ref[0].astype(jnp.float32)                 # [page, D]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [G, page]
@@ -64,7 +65,7 @@ def _kernel_per_head(ctx_ref, bt_ref, q_ref, k_ref, v_ref, o_ref,
         alpha = jnp.where(m_prev == NEG_INF, 0.0, alpha)
 
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[:, 0, :].astype(jnp.float32)           # [page, D]
+        v = v_ref[0].astype(jnp.float32)                 # [page, D]
         v_valid = (b * page_size + jax.lax.broadcasted_iota(
             jnp.int32, v.shape, 0)) < ctx
         v = jnp.where(v_valid, v, 0.0)
@@ -95,7 +96,7 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     def kv_index(si, ki, bi, ctx_ref, bt_ref):
         last_live = jnp.maximum(pl.cdiv(ctx_ref[si], page_size) - 1, 0)
         page = bt_ref[si, jnp.minimum(bi, last_live)]
-        return (page, ki, 0)
+        return (ki, page, 0)
 
     def o_index(si, ki, bi, ctx_ref, bt_ref):
         return (si, ki, 0, 0)
@@ -105,8 +106,8 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         grid=(s, kh, max_pages),
         in_specs=[
             pl.BlockSpec((1, 1, g, d), q_index),
-            pl.BlockSpec((page_size, 1, d), kv_index),
-            pl.BlockSpec((page_size, 1, d), kv_index),
+            pl.BlockSpec((1, page_size, d), kv_index),
+            pl.BlockSpec((1, page_size, d), kv_index),
         ],
         out_specs=pl.BlockSpec((1, 1, g, d), o_index),
         scratch_shapes=[
@@ -130,17 +131,17 @@ def paged_decode_attention_reference(q, k_pool, v_pool, block_table, ctx,
     """XLA gather-based reference (also the CPU fallback path)."""
     s, kh, g, d = q.shape
     max_pages = block_table.shape[1]
-    # gather each slot's pages into contiguous [S, max_pages*page, K, D]
+    # gather each slot's pages into contiguous [K, S, T', D]
     rows = (block_table[:, :, None] * page_size
             + jnp.arange(page_size)[None, None, :]).reshape(s, -1)
-    k = jnp.take(k_pool, rows, axis=0)          # [S, T', K, D]
-    v = jnp.take(v_pool, rows, axis=0)
+    k = jnp.take(k_pool, rows, axis=1)          # [K, S, T', D]
+    v = jnp.take(v_pool, rows, axis=1)
     scale = 1.0 / math.sqrt(d)
-    scores = jnp.einsum("skgd,stkd->skgt", q.astype(jnp.float32),
+    scores = jnp.einsum("skgd,kstd->skgt", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
     t = rows.shape[1]
     mask = jnp.arange(t)[None, :] < ctx[:, None]
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("skgt,stkd->skgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("skgt,kstd->skgd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
