@@ -1,5 +1,11 @@
 """Decode-throughput benchmark on the local accelerator.
 
+Modes (env):
+  BENCH_MODEL=tinyllama (default) | llama7b-int4   — model shape
+  BENCH_ENGINE=slot (default) | paged              — KV engine
+  BENCH_SLOTS, DECODE_CHUNK, BENCH_POOL_PAGES      — knobs
+
+
 Runs the full engine decode step (model forward + vectorized sampling +
 state update) on a TinyLlama-1.1B-shaped bf16 model with all batch slots
 active, and reports output tokens/sec/chip.
@@ -20,6 +26,47 @@ import jax
 import jax.numpy as jnp
 
 
+def _init_int4_params(spec, key, dtype, groupsize=128):
+    """Random GPTQ-packed weights (values irrelevant for throughput)."""
+    import jax
+    import numpy as np
+    from text_generation_inference_tpu.models import core as _core
+    from text_generation_inference_tpu.ops.quant.int4 import Int4Weight
+
+    rng = np.random.default_rng(0)
+
+    def q4(in_f, out_f, n_stack):
+        groups = in_f // groupsize
+        return Int4Weight(
+            qweight=jnp.asarray(rng.integers(
+                -2**31, 2**31, size=(n_stack, in_f // 8, out_f), dtype=np.int64
+            ).astype(np.int32)),
+            qzeros=jnp.asarray(rng.integers(
+                -2**31, 2**31, size=(n_stack, groups, out_f // 8),
+                dtype=np.int64).astype(np.int32)),
+            scales=jnp.asarray(
+                rng.normal(scale=0.01, size=(n_stack, groups, out_f))
+                .astype(np.float32)),
+            g_idx=jnp.asarray(
+                np.tile(np.arange(in_f) // groupsize, (n_stack, 1))
+                .astype(np.int32)),
+            perm=None,
+        )
+
+    L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size
+    H, K, Dh = spec.num_heads, spec.num_kv_heads, spec.head_dim
+    params = _core.init_params(spec, key, dtype=dtype)
+    lp = params["layers"]
+    lp["wq"] = q4(D, H * Dh, L)
+    lp["wk"] = q4(D, K * Dh, L)
+    lp["wv"] = q4(D, K * Dh, L)
+    lp["wo"] = q4(H * Dh, D, L)
+    lp["w_gate"] = q4(D, F, L)
+    lp["w_up"] = q4(D, F, L)
+    lp["w_down"] = q4(F, D, L)   # 11008 % 8 == 0, % 128 == 0
+    return params
+
+
 def main():
     # persistent compile cache: repeated bench runs skip the multi-minute
     # remote XLA compiles
@@ -33,10 +80,25 @@ def main():
     from text_generation_inference_tpu.models import core
     from text_generation_inference_tpu.models.core import DecoderSpec
 
+    import os as _os
+
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
+    model_kind = _os.environ.get("BENCH_MODEL", "tinyllama")
 
-    if on_tpu:
+    if on_tpu and model_kind == "llama7b-int4":
+        # Llama-2-7B shape, GPTQ INT4 weights (BASELINE.md ladder step 3)
+        spec = DecoderSpec(
+            vocab_size=32000, hidden_size=4096, num_layers=32,
+            num_heads=32, num_kv_heads=32, head_dim=128,
+            intermediate_size=11008, pos="rope", norm="rmsnorm",
+            activation="silu_glu", norm_eps=1e-5)
+        num_slots = int(_os.environ.get("BENCH_SLOTS", "16"))
+        max_seq, dtype = 1024, jnp.bfloat16
+        steps, warmup = 64, 32
+        hbm_bw = 819e9
+        decode_chunk = int(_os.environ.get("DECODE_CHUNK", "32"))
+    elif on_tpu:
         # TinyLlama-1.1B shape (BASELINE.md measurement ladder step 2)
         spec = DecoderSpec(
             vocab_size=32000, hidden_size=2048, num_layers=22,
@@ -59,7 +121,10 @@ def main():
         hbm_bw = 50e9       # rough host-memory figure; CPU runs are smoke only
         decode_chunk = 2
 
-    params = core.init_params(spec, jax.random.key(0), dtype=dtype)
+    if model_kind == "llama7b-int4" and on_tpu:
+        params = _init_int4_params(spec, jax.random.key(0), dtype)
+    else:
+        params = core.init_params(spec, jax.random.key(0), dtype=dtype)
     config = ServingConfig(
         max_sequence_length=max_seq, max_new_tokens=max_seq // 2,
         max_batch_slots=num_slots, decode_chunk=decode_chunk,

@@ -31,11 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
-def _kernel_per_head(ctx_ref, bt_ref, q_ref, k_ref, v_ref, o_ref,
-                     m_ref, l_ref, acc_ref, *, page_size: int, scale: float):
+def _kernel_all_heads(ctx_ref, bt_ref, q_ref, k_ref, v_ref, o_ref,
+                      m_ref, l_ref, acc_ref, *, page_size: int, scale: float):
+    """Grid (S, num_pages): one program handles ALL kv heads for one
+    (slot, page) — 4-8x fewer programs than a per-head grid, which matters
+    because each program is tiny."""
     s = pl.program_id(0)
-    b = pl.program_id(2)
-    nb = pl.num_programs(2)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
     ctx = ctx_ref[s]
 
     @pl.when(b == 0)
@@ -46,16 +49,17 @@ def _kernel_per_head(ctx_ref, bt_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(b * page_size < ctx)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)              # [G, D]
-        k = k_ref[0].astype(jnp.float32)                 # [page, D]
+        q = q_ref[0].astype(jnp.float32)                 # [K, G, D]
+        k = k_ref[...].astype(jnp.float32)               # [K, page, D]
+        kh, g, d = q.shape
         scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [G, page]
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [K, G, page]
         pos = b * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1)
+            jnp.int32, scores.shape, 2)
         scores = jnp.where(pos < ctx, scores, NEG_INF)
 
-        m_prev = m_ref[...]
+        m_prev = m_ref[...].reshape(kh, g, 1)
         m_cur = jnp.max(scores, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
@@ -64,21 +68,26 @@ def _kernel_per_head(ctx_ref, bt_ref, q_ref, k_ref, v_ref, o_ref,
         alpha = jnp.exp(m_prev - m_safe)
         alpha = jnp.where(m_prev == NEG_INF, 0.0, alpha)
 
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0].astype(jnp.float32)                 # [page, D]
+        l_prev = l_ref[...].reshape(kh, g, 1)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_ref[...] = l_new.reshape(kh * g, 1)
+        v = v_ref[...].astype(jnp.float32)               # [K, page, D]
         v_valid = (b * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, v.shape, 0)) < ctx
+            jnp.int32, v.shape, 1)) < ctx
         v = jnp.where(v_valid, v, 0.0)
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_ref[...] = acc_ref[...] * alpha + pv
-        m_ref[...] = m_new
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [K, G, D]
+        acc_ref[...] = (acc_ref[...].reshape(kh, g, d) * alpha
+                        + pv).reshape(kh * g, d)
+        m_ref[...] = m_new.reshape(kh * g, 1)
 
     @pl.when(b == nb - 1)
     def _finish():
         denom = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0, 0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        kh, g, d = o_ref.shape[1], o_ref.shape[2], o_ref.shape[3]
+        out = (acc_ref[...] / denom).reshape(kh, g, d)
+        o_ref[0] = out.astype(o_ref.dtype)
 
 
 def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
@@ -90,34 +99,34 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     max_pages = block_table.shape[1]
     scale = 1.0 / math.sqrt(d)
 
-    def q_index(si, ki, bi, ctx_ref, bt_ref):
-        return (si, ki, 0, 0)
+    def q_index(si, bi, ctx_ref, bt_ref):
+        return (si, 0, 0, 0)
 
-    def kv_index(si, ki, bi, ctx_ref, bt_ref):
+    def kv_index(si, bi, ctx_ref, bt_ref):
         last_live = jnp.maximum(pl.cdiv(ctx_ref[si], page_size) - 1, 0)
         page = bt_ref[si, jnp.minimum(bi, last_live)]
-        return (ki, page, 0)
+        return (0, page, 0)
 
-    def o_index(si, ki, bi, ctx_ref, bt_ref):
-        return (si, ki, 0, 0)
+    def o_index(si, bi, ctx_ref, bt_ref):
+        return (si, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(s, kh, max_pages),
+        grid=(s, max_pages),
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), q_index),
-            pl.BlockSpec((1, page_size, d), kv_index),
-            pl.BlockSpec((1, page_size, d), kv_index),
+            pl.BlockSpec((1, kh, g, d), q_index),
+            pl.BlockSpec((kh, page_size, d), kv_index),
+            pl.BlockSpec((kh, page_size, d), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), o_index),
+        out_specs=pl.BlockSpec((1, kh, g, d), o_index),
         scratch_shapes=[
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((kh * g, 1), jnp.float32),
+            pltpu.VMEM((kh * g, 1), jnp.float32),
+            pltpu.VMEM((kh * g, d), jnp.float32),
         ],
     )
     kernel = pl.pallas_call(
-        functools.partial(_kernel_per_head, page_size=page_size, scale=scale),
+        functools.partial(_kernel_all_heads, page_size=page_size, scale=scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, kh, g, d), q.dtype),
         interpret=interpret,
