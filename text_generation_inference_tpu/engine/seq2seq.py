@@ -30,7 +30,6 @@ from ..models import t5
 from ..models.t5 import T5DecodeState, T5Spec
 from . import sampling
 from .engine import EngineState, PrefillResult, RequestParams, StepResult
-from .sampling import SlotSamplingParams
 
 
 def _s2s_prefill_step(spec: T5Spec, eos_id: int, params: dict,

@@ -17,7 +17,6 @@ GPTQ with random calibration still beats RTN on most layers).
 from __future__ import annotations
 
 import json
-import math
 from pathlib import Path
 
 import numpy as np

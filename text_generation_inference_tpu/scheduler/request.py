@@ -10,7 +10,7 @@ import asyncio
 import dataclasses
 import enum
 import time
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 
