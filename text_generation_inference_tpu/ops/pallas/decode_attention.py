@@ -10,6 +10,10 @@ request the same block, so dead KV is never streamed from HBM. With mixed
 context lengths in the slot batch this saves up to max_seq/ctx of decode
 attention bandwidth.
 
+One program handles ALL kv heads of one (slot, kv-block) — each program is
+small, so a per-head grid would be dominated by program overhead (measured
+on v5e).
+
 Shapes (G = query heads per KV head):
   q:    [S, K, G, D]
   k, v: [S, K, T, D]   (slot-major KV cache layout, one layer)
@@ -35,17 +39,17 @@ NEG_INF = float("-inf")
 
 
 def _kernel(ctx_ref,            # scalar-prefetch: [S] i32
-            q_ref,              # [G, D]
-            k_ref,              # [BT, D]
-            v_ref,              # [BT, D]
-            o_ref,              # [G, D]
-            m_ref,              # VMEM scratch [G, 1] f32
-            l_ref,              # VMEM scratch [G, 1] f32
-            acc_ref,            # VMEM scratch [G, D] f32
+            q_ref,              # [1, K, G, D]
+            k_ref,              # [1, K, BT, D]
+            v_ref,              # [1, K, BT, D]
+            o_ref,              # [1, K, G, D]
+            m_ref,              # VMEM scratch [K*G, 1] f32
+            l_ref,              # VMEM scratch [K*G, 1] f32
+            acc_ref,            # VMEM scratch [K*G, D] f32
             *, block_t: int, scale: float):
     s = pl.program_id(0)
-    b = pl.program_id(2)
-    nb = pl.num_programs(2)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
     ctx = ctx_ref[s]
 
     @pl.when(b == 0)
@@ -56,41 +60,46 @@ def _kernel(ctx_ref,            # scalar-prefetch: [S] i32
 
     @pl.when(b * block_t < ctx)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)                 # [G, D]
-        k = k_ref[0, 0].astype(jnp.float32)                 # [BT, D]
+        q = q_ref[0].astype(jnp.float32)                    # [K, G, D]
+        k = k_ref[0].astype(jnp.float32)                    # [K, BT, D]
+        kh, g, d = q.shape
         scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale     # [G, BT]
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale     # [K, G, BT]
         pos = b * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1)
+            jnp.int32, scores.shape, 2)
         scores = jnp.where(pos < ctx, scores, NEG_INF)
 
-        m_prev = m_ref[...]                                  # [G, 1]
+        m_prev = m_ref[...].reshape(kh, g, 1)
         m_cur = jnp.max(scores, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         # guard fully-masked blocks (all -inf) against NaN from exp(-inf - -inf)
         m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
-        p = jnp.exp(scores - m_safe)                         # [G, BT]
+        p = jnp.exp(scores - m_safe)                        # [K, G, BT]
         p = jnp.where(scores == NEG_INF, 0.0, p)
         alpha = jnp.exp(m_prev - m_safe)
         alpha = jnp.where(m_prev == NEG_INF, 0.0, alpha)
 
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)                  # [BT, D]
-        # zero dead rows (same 0 * NaN hazard as flash_prefill)
+        l_prev = l_ref[...].reshape(kh, g, 1)
+        l_ref[...] = (l_prev * alpha
+                      + jnp.sum(p, axis=-1, keepdims=True)).reshape(kh * g, 1)
+        v = v_ref[0].astype(jnp.float32)                    # [K, BT, D]
+        # zero dead rows (0 * NaN hazard from padded block loads)
         v_valid = (b * block_t + jax.lax.broadcasted_iota(
-            jnp.int32, v.shape, 0)) < ctx
+            jnp.int32, v.shape, 1)) < ctx
         v = jnp.where(v_valid, v, 0.0)
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [G, D]
-        acc_ref[...] = acc_ref[...] * alpha + pv
-        m_ref[...] = m_new
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # [K, G, D]
+        acc_ref[...] = (acc_ref[...].reshape(kh, g, d) * alpha
+                        + pv).reshape(kh * g, d)
+        m_ref[...] = m_new.reshape(kh * g, 1)
 
     @pl.when(b == nb - 1)
     def _finish():
+        kh, g, d = o_ref.shape[1], o_ref.shape[2], o_ref.shape[3]
         denom = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0, 0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[...] / denom).reshape(kh, g, d).astype(o_ref.dtype)
 
 
 def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -103,31 +112,31 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     nb = pl.cdiv(t, block_t)
     scale = 1.0 / math.sqrt(d)
 
-    def q_index(si, ki, bi, ctx_ref):
-        return (si, ki, 0, 0)
+    def q_index(si, bi, ctx_ref):
+        return (si, 0, 0, 0)
 
-    def kv_index(si, ki, bi, ctx_ref):
+    def kv_index(si, bi, ctx_ref):
         # clamp dead blocks to the last live block: consecutive identical
         # indices make Mosaic skip the DMA entirely
         last_live = jnp.maximum(pl.cdiv(ctx_ref[si], block_t) - 1, 0)
-        return (si, ki, jnp.minimum(bi, last_live), 0)
+        return (si, 0, jnp.minimum(bi, last_live), 0)
 
-    def o_index(si, ki, bi, ctx_ref):
-        return (si, ki, 0, 0)
+    def o_index(si, bi, ctx_ref):
+        return (si, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(s, kh, nb),
+        grid=(s, nb),
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), q_index),
-            pl.BlockSpec((1, 1, block_t, d), kv_index),
-            pl.BlockSpec((1, 1, block_t, d), kv_index),
+            pl.BlockSpec((1, kh, g, d), q_index),
+            pl.BlockSpec((1, kh, block_t, d), kv_index),
+            pl.BlockSpec((1, kh, block_t, d), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), o_index),
+        out_specs=pl.BlockSpec((1, kh, g, d), o_index),
         scratch_shapes=[
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((kh * g, 1), jnp.float32),
+            pltpu.VMEM((kh * g, 1), jnp.float32),
+            pltpu.VMEM((kh * g, d), jnp.float32),
         ],
     )
     kernel = pl.pallas_call(
