@@ -51,6 +51,9 @@ def _init_int4_params(spec, key, dtype, groupsize=128):
                 np.tile(np.arange(in_f) // groupsize, (n_stack, 1))
                 .astype(np.int32)),
             perm=None,
+            zbias=jnp.asarray(
+                rng.normal(scale=0.05, size=(n_stack, groups, out_f))
+                .astype(np.float32)),
         )
 
     L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size

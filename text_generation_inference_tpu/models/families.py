@@ -227,6 +227,7 @@ def _stack_linear(w: Weights, fmt: str, n_layers: int, dtype):
             scales=jnp.stack([p.scales for p in per_layer]),
             g_idx=jnp.stack([p.g_idx for p in per_layer]),
             perm=perm_stack,
+            zbias=jnp.stack([p.zbias for p in per_layer]),
         )
     return _stack([w.get(fmt.format(i=i) + ".weight").T
                    for i in range(n_layers)], dtype)

@@ -45,6 +45,8 @@ def _concat_out(ws):
             scales=jnp.concatenate([w.scales for w in ws], axis=-1),
             g_idx=ws[0].g_idx,
             perm=None,
+            zbias=(jnp.concatenate([w.zbias for w in ws], axis=-1)
+                   if all(w.zbias is not None for w in ws) else None),
         )
     return jnp.concatenate(ws, axis=-1)
 

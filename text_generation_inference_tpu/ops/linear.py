@@ -29,7 +29,7 @@ def matmul(x: jax.Array, w) -> jax.Array:
             x = jnp.take(x, w.perm, axis=-1)
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        if _use_pallas():
+        if _use_pallas() and w.zbias is not None:
             from .pallas.int4_matmul import int4_matmul
 
             y = int4_matmul(x2, w)

@@ -7,10 +7,11 @@ them packed 4-bit in HBM and dequantizing in VMEM right before the MXU cuts
 weight traffic 4x vs bf16 — the speed-of-light lever for quantized serving
 (BASELINE.md north-star).
 
-Tiling notes: qweight blocks are (block_in/8, block_out) — both dims
-MXU-aligned; qzeros/scales are small and ride along as FULL arrays in VMEM
-(their natural per-block shapes violate the (8, 128) tile minimum), with the
-kernel slicing the group rows it needs.
+Dequant formulation: w = q * scale - zbias where zbias = (zero+1) * scale is
+precomputed at load time (Int4Weight.zbias). This keeps the packed zeros out
+of the kernel entirely — their natural block shapes violate TPU (8, 128)
+tiling — and scale/zbias ride in as group-blocked operands padded to the
+8-sublane minimum.
 
 Supported layout: sequential group ids (g_idx[i] == i // groupsize). For
 act-order checkpoints (shuffled g_idx) callers fall back to the XLA dequant
@@ -27,17 +28,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..quant.int4 import Int4Weight
+from ..quant.int4 import Int4Weight, unpack_cols
+
+_GPB_PAD = 8   # sublane minimum for the scale/zbias blocks
 
 
 def _kernel(x_ref,        # [S, BI]
             qw_ref,       # [BI/8, BO] int32
-            qz_ref,       # FULL [groups, out/8] int32 (VMEM)
-            sc_ref,       # FULL [groups, out] f32 (VMEM)
+            sc_ref,       # [1, GPB_PAD, BO] f32
+            zb_ref,       # [1, GPB_PAD, BO] f32
             o_ref,        # [S, BO]
             acc_ref,      # VMEM [S, BO] f32
-            *, block_in: int, block_out: int, groupsize: int):
-    oi = pl.program_id(0)
+            *, block_in: int, groupsize: int):
     ii = pl.program_id(1)
     ni = pl.num_programs(1)
     gpb = block_in // groupsize
@@ -50,18 +52,11 @@ def _kernel(x_ref,        # [S, BI]
     bi8, bo = qw.shape
     shifts = (4 * jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1))
     q = ((qw[:, None, :] >> shifts) & 0xF)             # [BI/8, 8, BO]
-    q = q.reshape(block_in, bo)
+    qg = q.reshape(gpb, groupsize, bo).astype(jnp.float32)
 
-    qz = qz_ref[pl.ds(ii * gpb, gpb), pl.ds(oi * (block_out // 8),
-                                            block_out // 8)]
-    zshifts = (4 * jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2))
-    z = ((qz[:, :, None] >> zshifts) & 0xF).reshape(gpb, bo) + 1
-
-    sc = sc_ref[pl.ds(ii * gpb, gpb), pl.ds(oi * block_out, block_out)]
-    sc = sc.astype(jnp.float32)                        # [GPB, BO]
-    qg = q.reshape(gpb, groupsize, bo)
-    w = ((qg - z[:, None, :]).astype(jnp.float32)
-         * sc[:, None, :]).reshape(block_in, bo)
+    sc = sc_ref[0, :gpb, :]                            # [GPB, BO] (static slice)
+    zb = zb_ref[0, :gpb, :]
+    w = (qg * sc[:, None, :] - zb[:, None, :]).reshape(block_in, bo)
 
     x = x_ref[...].astype(jnp.float32)                 # [S, BI]
     acc_ref[...] += jax.lax.dot_general(
@@ -73,25 +68,46 @@ def _kernel(x_ref,        # [S, BI]
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _largest_divisor(n: int, multiple: int, cap: int) -> int:
+    """Largest divisor of n that is a multiple of `multiple` and <= cap."""
+    best = multiple
+    d = multiple
+    while d <= cap:
+        if n % d == 0:
+            best = d
+        d += multiple
+    return best
+
+
 def int4_matmul(x: jax.Array, w: Int4Weight, *, block_in: int = 512,
                 block_out: int = 512, interpret: bool = False) -> jax.Array:
-    """y = x @ dequant(w). x: [S, in] → [S, out]. Sequential g_idx only."""
+    """y = x @ dequant(w). x: [S, in] → [S, out]. Sequential g_idx only;
+    requires w.zbias (populated by the loaders / quantizers)."""
+    assert w.zbias is not None, "int4_matmul requires precomputed zbias"
     s, in_f = x.shape
     out_f = w.out_features
     groups = w.scales.shape[0]
     groupsize = in_f // groups
-    block_in = min(block_in, in_f)
-    block_out = min(block_out, out_f)
-    if block_in % groupsize != 0 and groupsize % block_in != 0:
-        block_in = groupsize
-    if block_in % groupsize != 0:
-        block_in = groupsize
+    block_in = _largest_divisor(in_f, groupsize, min(block_in, in_f))
+    block_out = _largest_divisor(out_f, 128, min(block_out, out_f)) \
+        if out_f % 128 == 0 else out_f
+    gpb = block_in // groupsize
+    assert gpb <= _GPB_PAD, f"group rows per block {gpb} > {_GPB_PAD}"
+
     # row dim must satisfy the (8, 128) sublane tile: pad small batches
     s_pad = max(8, -(-s // 8) * 8)
     if s_pad != s:
         x = jnp.pad(x, ((0, s_pad - s), (0, 0)))
-    ni = pl.cdiv(in_f, block_in)
-    no = pl.cdiv(out_f, block_out)
+    ni = in_f // block_in
+    no = out_f // block_out
+
+    # group-blocked scale/zbias: [ni, GPB_PAD, out] (padded rows unused)
+    sc = w.scales.astype(jnp.float32).reshape(ni, gpb, out_f)
+    zb = w.zbias.astype(jnp.float32).reshape(ni, gpb, out_f)
+    if gpb < _GPB_PAD:
+        pad = ((0, 0), (0, _GPB_PAD - gpb), (0, 0))
+        sc = jnp.pad(sc, pad)
+        zb = jnp.pad(zb, pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -99,20 +115,19 @@ def int4_matmul(x: jax.Array, w: Int4Weight, *, block_in: int = 512,
         in_specs=[
             pl.BlockSpec((s_pad, block_in), lambda oi, ii: (0, ii)),
             pl.BlockSpec((block_in // 8, block_out), lambda oi, ii: (ii, oi)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # qzeros (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # scales (full)
+            pl.BlockSpec((1, _GPB_PAD, block_out), lambda oi, ii: (ii, 0, oi)),
+            pl.BlockSpec((1, _GPB_PAD, block_out), lambda oi, ii: (ii, 0, oi)),
         ],
         out_specs=pl.BlockSpec((s_pad, block_out), lambda oi, ii: (0, oi)),
         scratch_shapes=[pltpu.VMEM((s_pad, block_out), jnp.float32)],
     )
     kernel = pl.pallas_call(
-        functools.partial(_kernel, block_in=block_in, block_out=block_out,
-                          groupsize=groupsize),
+        functools.partial(_kernel, block_in=block_in, groupsize=groupsize),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s_pad, out_f), x.dtype),
         interpret=interpret,
     )
-    y = kernel(x, w.qweight, w.qzeros, w.scales.astype(jnp.float32))
+    y = kernel(x, w.qweight, sc, zb)
     return y[:s] if s_pad != s else y
 
 

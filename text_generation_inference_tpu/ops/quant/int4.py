@@ -36,6 +36,9 @@ class Int4Weight(NamedTuple):
     # the matmul (exllama's q_perm, reference: utils/gptq/exllamav2.py:31-48).
     # None for checkpoints without act-order.
     perm: jax.Array | None = None
+    # precomputed (zero+1)*scale [groups, out] f32 for the fused TPU kernel
+    # (ops/pallas/int4_matmul.py); populated by compute_zbias().
+    zbias: jax.Array | None = None
 
     @property
     def in_features(self) -> int:
@@ -44,6 +47,13 @@ class Int4Weight(NamedTuple):
     @property
     def out_features(self) -> int:
         return self.qweight.shape[1]
+
+
+def compute_zbias(w: Int4Weight) -> Int4Weight:
+    """Populate the fused-kernel zbias = (zero+1)*scale term."""
+    zeros = unpack_cols(w.qzeros) + 1
+    zb = zeros.astype(jnp.float32) * w.scales.astype(jnp.float32)
+    return w._replace(zbias=zb)
 
 
 def normalize_act_order(qweight: np.ndarray, qzeros: np.ndarray,
@@ -56,20 +66,20 @@ def normalize_act_order(qweight: np.ndarray, qzeros: np.ndarray,
     groupsize = in_f // groups
     expected = np.arange(in_f) // groupsize
     if np.array_equal(g_idx, expected):
-        return Int4Weight(
+        return compute_zbias(Int4Weight(
             qweight=jnp.asarray(qweight), qzeros=jnp.asarray(qzeros),
             scales=jnp.asarray(scales), g_idx=jnp.asarray(g_idx, jnp.int32),
-            perm=None)
+            perm=None))
     # stable sort rows by group: perm[r] = original row index
     perm = np.argsort(g_idx, kind="stable").astype(np.int32)
     q = np.asarray(unpack_rows(jnp.asarray(qweight)))
     q = q[perm]
-    return Int4Weight(
+    return compute_zbias(Int4Weight(
         qweight=jnp.asarray(pack_rows(q)),
         qzeros=jnp.asarray(qzeros),
         scales=jnp.asarray(scales),
         g_idx=jnp.asarray(expected, jnp.int32),
-        perm=jnp.asarray(perm, jnp.int32))
+        perm=jnp.asarray(perm, jnp.int32)))
 
 
 def unpack_rows(packed: jax.Array) -> jax.Array:
@@ -117,12 +127,12 @@ def quantize_rtn(weight: np.ndarray, groupsize: int = 128) -> Int4Weight:
     q = np.round(w / scale[:, None, :]) + zero[:, None, :]
     q = np.clip(q, 0, 15).astype(np.int32).reshape(in_f, out_f)
 
-    return Int4Weight(
+    return compute_zbias(Int4Weight(
         qweight=jnp.asarray(pack_rows(q)),
         qzeros=jnp.asarray(pack_cols(zero - 1)),
         scales=jnp.asarray(scale, jnp.float32),
         g_idx=jnp.asarray(np.arange(in_f) // groupsize, jnp.int32),
-    )
+    ))
 
 
 def pack_rows(q: np.ndarray) -> np.ndarray:
