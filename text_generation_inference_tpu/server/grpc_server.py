@@ -19,7 +19,7 @@ from ..config import ServingConfig
 from ..pb import generation_pb2 as pb
 from ..scheduler.batcher import Batcher, QueueFullError
 from ..scheduler.request import GenRequest, StopReason, TokenRecord
-from ..utils import metrics
+from ..utils import metrics, tracing
 from ..utils.tokenization import AsyncTokenizer, ServingTokenizer
 from .validation import Validation, ValidationError
 
@@ -92,6 +92,8 @@ class GenerationServicer:
     async def Generate(self, request: pb.BatchedGenerationRequest,
                        context) -> pb.BatchedGenerationResponse:
         start = time.monotonic()
+        otel_ctx = tracing.context_from_grpc_metadata(
+            context.invocation_metadata())
         if not request.requests:
             return pb.BatchedGenerationResponse()
         if len(request.requests) > self.config.max_batch_size:
@@ -129,8 +131,14 @@ class GenerationServicer:
                 metrics.increment("tgi_request_failure", reason="generate")
                 await context.abort(grpc.StatusCode.INTERNAL,
                                     r.error or "generation failed")
-        metrics.observe("tgi_request_duration", time.monotonic() - start)
+        duration = time.monotonic() - start
+        metrics.observe("tgi_request_duration", duration)
         metrics.increment("tgi_request_success", len(reqs))
+        with tracing.span("fmaas.Generate", context=otel_ctx,
+                          batch_size=len(reqs)) as s:
+            tracing.record(
+                s, total_time_s=duration,
+                generated_tokens=sum(r.generated_count for r in reqs))
         return pb.BatchedGenerationResponse(
             responses=[self._final_response(r) for r in reqs])
 
