@@ -58,15 +58,26 @@ def _init_int4_params(spec, key, dtype, groupsize=128):
 
     L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size
     H, K, Dh = spec.num_heads, spec.num_kv_heads, spec.head_dim
-    params = _core.init_params(spec, key, dtype=dtype)
-    lp = params["layers"]
-    lp["wq"] = q4(D, H * Dh, L)
-    lp["wk"] = q4(D, K * Dh, L)
-    lp["wv"] = q4(D, K * Dh, L)
-    lp["wo"] = q4(H * Dh, D, L)
-    lp["w_gate"] = q4(D, F, L)
-    lp["w_up"] = q4(D, F, L)
-    lp["w_down"] = q4(F, D, L)   # 11008 % 8 == 0, % 128 == 0
+    # build the skeleton WITHOUT dense layer weights (a dense 7B bf16 tree
+    # would transiently OOM the chip before the int4 swap)
+    norm01 = jnp.asarray(rng.normal(scale=0.02, size=(32000, D)), dtype)
+    params = {
+        "embed_tokens": norm01,
+        "layers": {
+            "ln1": {"scale": jnp.ones((L, D), dtype)},
+            "ln2": {"scale": jnp.ones((L, D), dtype)},
+            "wq": q4(D, H * Dh, L),
+            "wk": q4(D, K * Dh, L),
+            "wv": q4(D, K * Dh, L),
+            "wo": q4(H * Dh, D, L),
+            "w_gate": q4(D, F, L),
+            "w_up": q4(D, F, L),
+            "w_down": q4(F, D, L),   # 11008 % 8 == 0, % 128 == 0
+        },
+        "final_norm": {"scale": jnp.ones((D,), dtype)},
+        "lm_head": jnp.asarray(
+            rng.normal(scale=0.02, size=(D, 32000)), dtype),
+    }
     return params
 
 

@@ -137,3 +137,65 @@ class TestEngineInjection:
         assert plain_again == plain, "prefix leaked into later request"
         with_prefix_again = run(prefix)
         assert with_prefix_again == with_prefix, "prefixed run not deterministic"
+
+
+class TestSeq2SeqPrefix:
+    def test_encoder_decoder_entry(self, tmp_path):
+        rng = np.random.default_rng(3)
+        d = tmp_path / "s2s"
+        d.mkdir()
+        torch.save(torch.tensor(rng.normal(size=(4, DIM)).astype(np.float32)),
+                   d / "decoder.pt")
+        torch.save(torch.tensor(rng.normal(size=(6, DIM)).astype(np.float32)),
+                   d / "encoder.pt")
+        pc = PrefixCache(tmp_path, embed_dim=DIM)
+        entry = pc.get_entry("s2s")
+        assert entry.decoder.shape == (4, DIM)
+        assert entry.encoder.shape == (6, DIM)
+        assert pc.prefix_length("s2s") == 10
+
+    def test_seq2seq_prefix_changes_output(self, tmp_path):
+        """Encoder + decoder soft prompts must alter T5 generation and stay
+        isolated between requests."""
+        import jax.numpy as jnp
+        from tests.test_server_seq2seq import build_t5_fixture
+        from text_generation_inference_tpu.config import ServingConfig
+        from text_generation_inference_tpu.engine.engine import RequestParams
+        from text_generation_inference_tpu.engine.seq2seq import Seq2SeqEngine
+        from text_generation_inference_tpu.models import t5
+        from text_generation_inference_tpu.utils.prompt_cache import PrefixEntry
+        from text_generation_inference_tpu.utils.weights import Weights
+        from tests import fixtures as fx
+
+        model_dir = build_t5_fixture()
+        import json
+        spec = t5.spec_from_hf_config(json.loads(
+            (fx.FIXTURE_ROOT / "tiny_t5_served" / "config.json").read_text()))
+        params = t5.load_params(Weights(model_dir), spec, jnp.float32)
+        cfg = ServingConfig(max_sequence_length=64, max_new_tokens=16,
+                            max_batch_slots=2, prefill_buckets=[16, 32])
+        cfg.validate()
+        engine = Seq2SeqEngine(spec, params, cfg, eos_token_id=1)
+
+        rng = np.random.default_rng(5)
+        entry = PrefixEntry(
+            decoder=rng.normal(size=(3, spec.d_model)).astype(np.float32),
+            encoder=rng.normal(size=(4, spec.d_model)).astype(np.float32))
+        prompt = [5, 9, 23, 77]
+
+        def run(pe, n=6):
+            slot = engine.acquire_slot()
+            res = engine.prefill([slot], [prompt],
+                                 [RequestParams(max_new_tokens=n)],
+                                 prefix_embeds=[pe])
+            toks = [int(res.first_token.next_ids[0])]
+            for _ in range(n - 1):
+                toks.append(int(engine.decode().next_ids[slot]))
+            engine.free(slot)
+            return toks
+
+        plain = run(None)
+        with_prefix = run(entry)
+        assert plain != with_prefix
+        assert run(None) == plain
+        assert run(entry) == with_prefix

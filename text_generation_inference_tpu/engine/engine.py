@@ -327,7 +327,8 @@ class InferenceEngine:
         self._apply_pending_frees()
         for slot, rp in zip(slots, request_params):
             self.set_request_params(slot, rp)
-        pe_list = prefix_embeds or [None] * n
+        pe_list = [getattr(pe, "decoder", pe)
+                   for pe in (prefix_embeds or [None] * n)]
         prefix_lens = [0 if pe is None else int(pe.shape[0]) for pe in pe_list]
         total_lens = [p + len(t) for p, t in zip(prefix_lens, token_ids)]
         bucket = self.config.bucket_for(max(total_lens))

@@ -32,34 +32,53 @@ from . import sampling
 from .engine import EngineState, PrefillResult, RequestParams, StepResult
 
 
-def _s2s_prefill_step(spec: T5Spec, eos_id: int, params: dict,
+def _s2s_prefill_step(spec: T5Spec, eos_id: int, dec_width: int,
+                      params: dict,
                       dstate: T5DecodeState, state: EngineState,
                       enc_ids: jax.Array, enc_lengths: jax.Array,
-                      slots: jax.Array):
+                      slots: jax.Array,
+                      dec_lengths: jax.Array,                       # [N]
+                      enc_prefix_embeds=None, enc_prefix_len=None,
+                      dec_prefix_embeds=None, dec_prefix_len=None):
+    """Encode + decoder prompt (start token [+ tuned decoder prefix]).
+
+    `dec_width` = 1 + max decoder-prefix length (static); rows with shorter
+    prefixes pad with placeholder zeros beyond their dec_lengths.
+    """
     n = enc_ids.shape[0]
     t_max = state.history.shape[1]
-    enc_states = t5.encode(spec, params, enc_ids, enc_lengths)
-    dec_ids = jnp.full((n, 1), spec.decoder_start_token_id, jnp.int32)
+    enc_states = t5.encode(spec, params, enc_ids, enc_lengths,
+                           prefix_embeds=enc_prefix_embeds,
+                           prefix_len=enc_prefix_len)
+    dec_ids = jnp.zeros((n, dec_width), jnp.int32).at[:, 0].set(
+        spec.decoder_start_token_id)
     logits, dstate = t5.decoder_prefill(
-        spec, params, dec_ids, jnp.ones((n,), jnp.int32),
-        enc_states, enc_lengths, slots, dstate)
-    last_logits = logits[:, 0]
+        spec, params, dec_ids, dec_lengths,
+        enc_states, enc_lengths, slots, dstate,
+        dec_prefix_embeds=dec_prefix_embeds,
+        dec_prefix_len=dec_prefix_len,
+        dec_prefix_start=jnp.ones((n,), jnp.int32)
+        if dec_prefix_embeds is not None else None)
+    rows = jnp.arange(n)
+    last_logits = logits[rows, dec_lengths - 1]
 
     req_params = state.params.gather(slots)
     next_ids, details = sampling.next_tokens(
         last_logits, req_params,
         gen_count=jnp.zeros((n,), jnp.int32),
-        token_history=dec_ids, history_len=jnp.ones((n,), jnp.int32),
-        eos_token_id=eos_id)
+        token_history=dec_ids, history_len=dec_lengths,
+        eos_token_id=eos_id,
+        history_start=jnp.maximum(dec_lengths - 1, 0))
 
     hist = state.history
-    hist = hist.at[slots, 0].set(jnp.full((n,), spec.decoder_start_token_id,
-                                          jnp.int32))
-    hist = hist.at[slots, 1].set(next_ids)
+    hist = hist.at[slots[:, None], jnp.arange(dec_width)[None, :]].set(
+        dec_ids, mode="drop")
+    hist = hist.at[slots, jnp.clip(dec_lengths, 0, t_max - 1)].set(
+        next_ids, mode="drop")
     state = state._replace(
         history=hist,
-        history_len=state.history_len.at[slots].set(2),
-        hist_start=state.hist_start.at[slots].set(0),
+        history_len=state.history_len.at[slots].set(dec_lengths + 1),
+        hist_start=state.hist_start.at[slots].set(dec_lengths),
         input_len=state.input_len.at[slots].set(enc_lengths),
         gen_count=state.gen_count.at[slots].set(1),
         active=state.active.at[slots].set(True),
@@ -149,25 +168,59 @@ class Seq2SeqEngine:
         self._apply_pending_frees()
         for slot, rp in zip(slots, request_params):
             self.set_request_params(slot, rp)
-        max_len = max(len(t) for t in token_ids)
-        bucket = self.config.bucket_for(max_len)
-        ids = np.zeros((n, bucket), np.int32)
-        lengths = np.zeros((n,), np.int32)
-        for i, toks in enumerate(token_ids):
-            ids[i, : len(toks)] = toks
-            lengths[i] = len(toks)
+        entries = prefix_embeds or [None] * n
+        enc_pre = [getattr(e, "encoder", None) for e in entries]
+        dec_pre = [getattr(e, "decoder", None) for e in entries]
+        enc_plens = [0 if p is None else int(p.shape[0]) for p in enc_pre]
+        dec_plens = [0 if p is None else int(p.shape[0]) for p in dec_pre]
 
-        key = (n, bucket)
+        enc_total = [pl + len(t) for pl, t in zip(enc_plens, token_ids)]
+        bucket = self.config.bucket_for(max(enc_total))
+        ids = np.zeros((n, bucket), np.int32)
+        for i, toks in enumerate(token_ids):
+            ids[i, enc_plens[i]: enc_plens[i] + len(toks)] = toks
+        enc_lengths = np.asarray(enc_total, np.int32)
+        dec_width = 1 + max(dec_plens + [0])
+        dec_lengths = np.asarray([1 + p for p in dec_plens], np.int32)
+
+        has_enc = any(enc_plens)
+        has_dec = any(dec_plens)
+        dim = self.spec.d_model
+        enc_emb = dec_emb = None
+        if has_enc:
+            arr = np.zeros((n, bucket, dim), np.float32)
+            for i, p in enumerate(enc_pre):
+                if p is not None:
+                    arr[i, : p.shape[0]] = p
+            enc_emb = jnp.asarray(arr)
+        if has_dec:
+            arr = np.zeros((n, dec_width, dim), np.float32)
+            for i, p in enumerate(dec_pre):
+                if p is not None:
+                    arr[i, 1: 1 + p.shape[0]] = p
+            dec_emb = jnp.asarray(arr)
+
+        key = (n, bucket, dec_width, has_enc, has_dec)
         fn = self._prefill_fns.get(key)
         if fn is None:
-            fn = jax.jit(partial(_s2s_prefill_step, self.spec, self.eos_token_id),
+            fn = jax.jit(partial(_s2s_prefill_step, self.spec,
+                                 self.eos_token_id, dec_width),
                          donate_argnums=(1, 2))
             self._prefill_fns[key] = fn
         t0 = time.monotonic_ns()
+        kwargs = {}
+        if has_enc:
+            kwargs["enc_prefix_embeds"] = enc_emb
+            kwargs["enc_prefix_len"] = jnp.asarray(enc_plens, jnp.int32)
+        if has_dec:
+            kwargs["dec_prefix_embeds"] = dec_emb
+            kwargs["dec_prefix_len"] = jnp.asarray(dec_plens, jnp.int32)
         self.dstate, self.state, packed = fn(
             self.model_params, self.dstate, self.state,
-            jnp.asarray(ids), jnp.asarray(lengths),
-            jnp.asarray(slots, jnp.int32))
+            jnp.asarray(ids), jnp.asarray(enc_lengths),
+            jnp.asarray(slots, jnp.int32), jnp.asarray(dec_lengths),
+            **kwargs)
+        packed = jax.device_get(packed)
         step = StepResult(*sampling.unpack_step_outputs(packed))
         self.last_forward_ns = time.monotonic_ns() - t0
         return PrefillResult(first_token=step, prompt_details=None)

@@ -165,10 +165,19 @@ def _proj_qkv(lp, x, h, dkv, prefix):
 
 
 def encode(spec: T5Spec, params: dict, ids: jax.Array,
-           lengths: jax.Array) -> jax.Array:
-    """ids [N, T_enc] right-padded; returns [N, T_enc, D] encoder states."""
+           lengths: jax.Array,
+           prefix_embeds: Optional[jax.Array] = None,
+           prefix_len: Optional[jax.Array] = None) -> jax.Array:
+    """ids [N, T_enc] right-padded; returns [N, T_enc, D] encoder states.
+    With a tuned prompt, the first prefix_len positions take their
+    embeddings from prefix_embeds (reference: seq2seq_lm.py encoder prefix
+    injection)."""
     n, t = ids.shape
     x = jnp.take(params["shared_embed"], ids, axis=0)
+    if prefix_embeds is not None:
+        posn = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (n, t))
+        use = posn < prefix_len[:, None]
+        x = jnp.where(use[..., None], prefix_embeds.astype(x.dtype), x)
     pos = jnp.arange(t, dtype=jnp.int32)
     bias = _position_bias(
         params["enc_rel_bias"], pos, pos, True,
@@ -206,6 +215,7 @@ def decoder_prefill(
     state: T5DecodeState,
     dec_prefix_embeds: Optional[jax.Array] = None,  # [N, T_dec, D]
     dec_prefix_len: Optional[jax.Array] = None,
+    dec_prefix_start: Optional[jax.Array] = None,   # [N]; default 0
 ) -> tuple[jax.Array, T5DecodeState]:
     """Run the decoder over its prompt (usually just the start token),
     building self- and cross-KV caches. Returns ([N, T_dec, V] logits, state)."""
@@ -214,7 +224,10 @@ def decoder_prefill(
     x = jnp.take(params["shared_embed"], dec_ids, axis=0)
     if dec_prefix_embeds is not None:
         posn = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (n, t))
-        use = posn < dec_prefix_len[:, None]
+        start = (dec_prefix_start if dec_prefix_start is not None
+                 else jnp.zeros((n,), jnp.int32))
+        use = (posn >= start[:, None]) & \
+              (posn < (start + dec_prefix_len)[:, None])
         x = jnp.where(use[..., None], dec_prefix_embeds.astype(x.dtype), x)
     pos = jnp.arange(t, dtype=jnp.int32)
     bias = _position_bias(

@@ -217,7 +217,8 @@ class Batcher:
         prefix_embeds = None
         if any(r.prefix_id for r in batch):
             prefix_embeds = [
-                self.prompt_cache.get(r.prefix_id) if r.prefix_id else None
+                self.prompt_cache.get_entry(r.prefix_id)
+                if r.prefix_id else None
                 for r in batch]
         t0 = time.monotonic()
         result = await loop.run_in_executor(

@@ -18,8 +18,22 @@ from __future__ import annotations
 import threading
 from collections import OrderedDict
 from pathlib import Path, PurePath
+from typing import NamedTuple, Optional
 
 import numpy as np
+
+
+class PrefixEntry(NamedTuple):
+    """A tuned prompt: decoder-side and (seq2seq only) encoder-side
+    embeddings (reference: prompt_cache.py loads decoder.pt and encoder.pt)."""
+
+    decoder: Optional[np.ndarray]   # [P_dec, hidden] f32
+    encoder: Optional[np.ndarray]   # [P_enc, hidden] f32
+
+    @property
+    def total_length(self) -> int:
+        return ((0 if self.decoder is None else self.decoder.shape[0])
+                + (0 if self.encoder is None else self.encoder.shape[0]))
 
 
 class PrefixNotFound(Exception):
@@ -43,26 +57,36 @@ class PrefixCache:
 
     # -- public API ---------------------------------------------------------
 
-    def get(self, prefix_id: str) -> np.ndarray:
-        """[prefix_len, embed_dim] float32 embeddings for the prefix."""
+    def get_entry(self, prefix_id: str) -> PrefixEntry:
+        """Full entry (decoder + optional encoder embeddings)."""
         with self._lock:
-            arr = self._cache.get(prefix_id)
-            if arr is not None:
+            entry = self._cache.get(prefix_id)
+            if entry is not None:
                 self._cache.move_to_end(prefix_id)
-                return arr
-        arr = self._load(prefix_id)
+                return entry
+        entry = self._load(prefix_id)
+        nbytes = sum(a.nbytes for a in entry if a is not None)
         with self._lock:
             if prefix_id not in self._cache:
-                self._cache[prefix_id] = arr
-                self._bytes += arr.nbytes
+                self._cache[prefix_id] = entry
+                self._bytes += nbytes
                 while self._bytes > self.max_bytes and len(self._cache) > 1:
                     _, evicted = self._cache.popitem(last=False)
-                    self._bytes -= evicted.nbytes
+                    self._bytes -= sum(a.nbytes for a in evicted
+                                       if a is not None)
             self._cache.move_to_end(prefix_id)
-        return arr
+        return entry
+
+    def get(self, prefix_id: str) -> np.ndarray:
+        """Decoder-side [prefix_len, embed_dim] f32 embeddings (back-compat
+        accessor for decoder-only serving)."""
+        entry = self.get_entry(prefix_id)
+        if entry.decoder is None:
+            raise InvalidPrefix(f"prefix {prefix_id!r} has no decoder tensor")
+        return entry.decoder
 
     def prefix_length(self, prefix_id: str) -> int:
-        return self.get(prefix_id).shape[0]
+        return self.get_entry(prefix_id).total_length
 
     def clear(self) -> None:
         with self._lock:
@@ -88,13 +112,25 @@ class PrefixCache:
             raise InvalidPrefix(f"invalid prefix id {prefix_id!r}")
         return d
 
-    def _load(self, prefix_id: str) -> np.ndarray:
+    def _load_pt(self, prefix_id: str, path: Path) -> np.ndarray:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(obj, dict):
+            if "prompt_embeddings" not in obj:
+                raise InvalidPrefix(
+                    f"prefix {prefix_id!r}: no prompt_embeddings tensor")
+            obj = obj["prompt_embeddings"]
+        return self._sanitize(prefix_id, obj.to(torch.float32).numpy())
+
+    def _load(self, prefix_id: str) -> PrefixEntry:
         d = self._dir_for(prefix_id)
         if not d.is_dir():
             raise PrefixNotFound(f"prefix {prefix_id!r} not found")
         peft_st = d / "adapter_model.safetensors"
         peft_bin = d / "adapter_model.bin"
-        raw = d / "decoder.pt"
+        dec_pt = d / "decoder.pt"
+        enc_pt = d / "encoder.pt"
         if peft_st.exists():
             from safetensors import safe_open
 
@@ -103,20 +139,19 @@ class PrefixCache:
                     raise InvalidPrefix(
                         f"prefix {prefix_id!r}: no prompt_embeddings tensor")
                 arr = f.get_tensor("prompt_embeddings")
-        elif peft_bin.exists() or raw.exists():
-            import torch
-
-            path = peft_bin if peft_bin.exists() else raw
-            obj = torch.load(path, map_location="cpu", weights_only=True)
-            if isinstance(obj, dict):
-                if "prompt_embeddings" not in obj:
-                    raise InvalidPrefix(
-                        f"prefix {prefix_id!r}: no prompt_embeddings tensor")
-                obj = obj["prompt_embeddings"]
-            arr = obj.to(torch.float32).numpy()
-        else:
-            raise PrefixNotFound(f"prefix {prefix_id!r} has no known tensor file")
-        return self._sanitize(prefix_id, np.asarray(arr))
+            return PrefixEntry(
+                decoder=self._sanitize(prefix_id, np.asarray(arr)),
+                encoder=None)
+        if peft_bin.exists():
+            return PrefixEntry(
+                decoder=self._load_pt(prefix_id, peft_bin), encoder=None)
+        if dec_pt.exists() or enc_pt.exists():
+            return PrefixEntry(
+                decoder=self._load_pt(prefix_id, dec_pt)
+                if dec_pt.exists() else None,
+                encoder=self._load_pt(prefix_id, enc_pt)
+                if enc_pt.exists() else None)
+        raise PrefixNotFound(f"prefix {prefix_id!r} has no known tensor file")
 
     def _sanitize(self, prefix_id: str, arr: np.ndarray) -> np.ndarray:
         """dtype/shape checks (reference: prompt_cache.py:310)."""
