@@ -56,9 +56,12 @@ def decode_attention(q, k_cache, v_cache, context_len, bias, mask,
     """q [S, K, G, D]; caches [S, K, T, D]; returns [S, K, G, D]."""
     s, kh, g, d = q.shape
     t = k_cache.shape[2]
-    # measured on v5e: with the all-heads-per-program grid the kernel beats
-    # the einsum path from ~1k context capacity up (27% at T=1024, S=48)
-    if bias is None and _kernels_available() and t >= 1024 and d % 64 == 0:
+    # measured on v5e: standalone the kernel beats einsum from T=1024, but
+    # inside the layer scan it acts as a fusion barrier and loses (3286 vs
+    # 2682 tok/s end-to-end at T=1024) — XLA overlaps the einsum's HBM reads
+    # with the surrounding matmuls. Keep it for long contexts where the
+    # dead-KV bandwidth saving dominates.
+    if bias is None and _kernels_available() and t >= 2048 and d % 64 == 0:
         from .pallas.decode_attention import decode_attention as da
 
         return da(q, k_cache, v_cache, context_len)
