@@ -153,7 +153,8 @@ async def async_serve(config: ServingConfig) -> None:
     for sig in (signal.SIGINT, signal.SIGTERM):
         try:
             loop.add_signal_handler(sig, stop.set)
-        except NotImplementedError:
+        except (NotImplementedError, RuntimeError):
+            # RuntimeError when serving off the main thread (embedded use)
             pass
     logger.info("serving model=%s on gRPC :%d HTTP :%d (slots=%d, max_seq=%d)",
                 config.model_name, config.grpc_port, config.http_port,
