@@ -35,11 +35,11 @@ _GPB_PAD = 8   # sublane minimum for the scale/zbias blocks
 
 def _kernel(x_ref,        # [S, BI]
             qw_ref,       # [BI/8, BO] int32
-            sc_ref,       # [1, GPB_PAD, BO] f32
-            zb_ref,       # [1, GPB_PAD, BO] f32
+            sc_ref,       # [1, GPB_PAD, BO] compute dtype
+            zb_ref,       # [1, GPB_PAD, BO] compute dtype
             o_ref,        # [S, BO]
             acc_ref,      # VMEM [S, BO] f32
-            *, block_in: int, groupsize: int):
+            *, block_in: int, groupsize: int, compute_dtype):
     ii = pl.program_id(1)
     ni = pl.num_programs(1)
     gpb = block_in // groupsize
@@ -52,13 +52,13 @@ def _kernel(x_ref,        # [S, BI]
     bi8, bo = qw.shape
     shifts = (4 * jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1))
     q = ((qw[:, None, :] >> shifts) & 0xF)             # [BI/8, 8, BO]
-    qg = q.reshape(gpb, groupsize, bo).astype(jnp.float32)
+    qg = q.reshape(gpb, groupsize, bo).astype(compute_dtype)
 
     sc = sc_ref[0, :gpb, :]                            # [GPB, BO] (static slice)
     zb = zb_ref[0, :gpb, :]
     w = (qg * sc[:, None, :] - zb[:, None, :]).reshape(block_in, bo)
 
-    x = x_ref[...].astype(jnp.float32)                 # [S, BI]
+    x = x_ref[...].astype(compute_dtype)               # [S, BI]
     acc_ref[...] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -80,7 +80,8 @@ def _largest_divisor(n: int, multiple: int, cap: int) -> int:
 
 
 def int4_matmul(x: jax.Array, w: Int4Weight, *, block_in: int = 512,
-                block_out: int = 512, interpret: bool = False) -> jax.Array:
+                block_out: int = 512, compute_dtype=jnp.float32,
+                interpret: bool = False) -> jax.Array:
     """y = x @ dequant(w). x: [S, in] → [S, out]. Sequential g_idx only;
     requires w.zbias (populated by the loaders / quantizers)."""
     assert w.zbias is not None, "int4_matmul requires precomputed zbias"
@@ -102,8 +103,8 @@ def int4_matmul(x: jax.Array, w: Int4Weight, *, block_in: int = 512,
     no = out_f // block_out
 
     # group-blocked scale/zbias: [ni, GPB_PAD, out] (padded rows unused)
-    sc = w.scales.astype(jnp.float32).reshape(ni, gpb, out_f)
-    zb = w.zbias.astype(jnp.float32).reshape(ni, gpb, out_f)
+    sc = w.scales.astype(compute_dtype).reshape(ni, gpb, out_f)
+    zb = w.zbias.astype(compute_dtype).reshape(ni, gpb, out_f)
     if gpb < _GPB_PAD:
         pad = ((0, 0), (0, _GPB_PAD - gpb), (0, 0))
         sc = jnp.pad(sc, pad)
@@ -122,7 +123,8 @@ def int4_matmul(x: jax.Array, w: Int4Weight, *, block_in: int = 512,
         scratch_shapes=[pltpu.VMEM((s_pad, block_out), jnp.float32)],
     )
     kernel = pl.pallas_call(
-        functools.partial(_kernel, block_in=block_in, groupsize=groupsize),
+        functools.partial(_kernel, block_in=block_in, groupsize=groupsize,
+                          compute_dtype=compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s_pad, out_f), x.dtype),
         interpret=interpret,
