@@ -108,7 +108,7 @@ def main():
             intermediate_size=11008, pos="rope", norm="rmsnorm",
             activation="silu_glu", norm_eps=1e-5)
         num_slots = int(_os.environ.get("BENCH_SLOTS", "16"))
-        max_seq, dtype = 1024, jnp.bfloat16
+        max_seq, dtype = 512, jnp.bfloat16   # shorter ctx: 7B KV is 268MB/slot
         steps, warmup = 64, 32
         hbm_bw = 819e9
         decode_chunk = int(_os.environ.get("DECODE_CHUNK", "32"))

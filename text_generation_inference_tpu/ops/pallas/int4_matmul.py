@@ -52,16 +52,28 @@ def _kernel(x_ref,        # [S, BI]
     bi8, bo = qw.shape
     shifts = (4 * jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1))
     q = ((qw[:, None, :] >> shifts) & 0xF)             # [BI/8, 8, BO]
+    # group-dot formulation: y = sum_g scale_g * (x_g @ q_g) - xsum @ zbias.
+    # The per-weight work is only unpack+convert; the scale FMA moves to the
+    # [S, BO] partials and the zero term to one tiny [S, GPB] @ [GPB, BO]
+    # matmul — ~40% fewer VPU ops than dequantizing w in place.
     qg = q.reshape(gpb, groupsize, bo).astype(compute_dtype)
 
     sc = sc_ref[0, :gpb, :]                            # [GPB, BO] (static slice)
     zb = zb_ref[0, :gpb, :]
-    w = (qg * sc[:, None, :] - zb[:, None, :]).reshape(block_in, bo)
-
     x = x_ref[...].astype(compute_dtype)               # [S, BI]
-    acc_ref[...] += jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())),
+    xg = x.reshape(x.shape[0], gpb, groupsize)
+    acc = jnp.zeros_like(acc_ref)
+    for g in range(gpb):
+        partial = jax.lax.dot_general(
+            xg[:, g, :], qg[g],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [S, BO]
+        acc = acc + partial * sc[g][None, :].astype(jnp.float32)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)     # [S, GPB]
+    acc = acc - jax.lax.dot_general(
+        xsum, zb.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
 
     @pl.when(ii == ni - 1)
     def _finish():
