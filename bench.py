@@ -121,9 +121,9 @@ def main():
             activation="silu_glu", norm_eps=1e-5)
         num_slots = int(__import__("os").environ.get("BENCH_SLOTS", "48"))
         max_seq, dtype = 1024, jnp.bfloat16
-        steps, warmup = 64, 32
+        steps, warmup = 128, 64
         hbm_bw = 819e9      # v5e ~819 GB/s
-        decode_chunk = int(__import__("os").environ.get("DECODE_CHUNK", "32"))
+        decode_chunk = int(__import__("os").environ.get("DECODE_CHUNK", "64"))
     else:
         spec = DecoderSpec(
             vocab_size=1024, hidden_size=256, num_layers=4,
