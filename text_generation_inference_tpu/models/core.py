@@ -541,6 +541,66 @@ def decode(
     group = spec.num_heads // spec.num_kv_heads
     rows = jnp.arange(s)
 
+    import os as _os
+
+    post_write = _os.getenv("DECODE_WRITE_MODE", "inline") == "post"
+
+    if post_write:
+        # POST-SCAN WRITE VARIANT: the scan carries only the tiny per-layer
+        # k/v (the current token), attending over the read-only cache plus
+        # the new column explicitly; ONE scatter updates all layers after
+        # the scan. Avoids threading full cache slabs through scan ys.
+        old_mask = key_pos[None, :] < positions[:, None]    # exclude current
+
+        def layer(x, inputs):
+            lp, ck, cv = inputs
+            h = _norm(spec, lp["ln1"], x)
+            q, k, v = _qkv(spec, lp, h)
+            if cos is not None:
+                q = _apply_rope(spec, q, cos, sin)
+                k = _apply_rope(spec, k, cos, sin)
+            qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
+            scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
+                                preferred_element_type=jnp.float32) * scale
+            if bias is not None:
+                scores = scores + bias.reshape(
+                    1, spec.num_kv_heads, group, t_max)
+            scores = jnp.where(old_mask[:, None, None, :], scores, -jnp.inf)
+            score_new = jnp.sum(
+                qg.astype(jnp.float32) * k[:, :, None, :].astype(jnp.float32),
+                axis=-1) * scale                            # [S, K, G]
+            if bias is not None:
+                slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads)).reshape(
+                    spec.num_kv_heads, group)
+                score_new = score_new + slopes_kg[None]                     * positions[:, None, None].astype(jnp.float32)
+            all_scores = jnp.concatenate(
+                [scores, score_new[..., None]], axis=-1)    # [S, K, G, T+1]
+            probs = jax.nn.softmax(all_scores, axis=-1).astype(cv.dtype)
+            attn = jnp.einsum("skgt,sktd->skgd", probs[..., :t_max], cv)                 + probs[..., t_max:] * v[:, :, None, :]
+            attn = attn.reshape(s, spec.num_heads, spec.head_dim)
+            attn = _attn_out(spec, lp, attn)
+
+            if spec.parallel_residual:
+                h2 = _norm(spec, lp["ln2"], x)
+                x = x + attn + _mlp(spec, lp, h2)
+            else:
+                x = x + attn
+                h2 = _norm(spec, lp["ln2"], x)
+                x = x + _mlp(spec, lp, h2)
+            return x, (k, v)
+
+        x, (k_all, v_all) = jax.lax.scan(
+            layer, x, (params["layers"], cache.k, cache.v))
+        # advanced indices separated by slices move to the FRONT of the
+        # result: the updated region is [S, L, K, D]
+        new_k = cache.k.at[:, rows, :, positions, :].set(
+            k_all.transpose(1, 0, 2, 3).astype(cache.k.dtype))
+        new_v = cache.v.at[:, rows, :, positions, :].set(
+            v_all.transpose(1, 0, 2, 3).astype(cache.v.dtype))
+        x = _norm(spec, params["final_norm"], x)
+        logits = _unembed(spec, params, x)
+        return logits, KVCache(k=new_k, v=new_v)
+
     def layer(x, inputs):
         lp, ck, cv = inputs
         h = _norm(spec, lp["ln1"], x)
