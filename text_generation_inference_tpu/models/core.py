@@ -543,7 +543,7 @@ def decode(
 
     import os as _os
 
-    post_write = _os.getenv("DECODE_WRITE_MODE", "inline") == "post"
+    post_write = _os.getenv("DECODE_WRITE_MODE", "post") == "post"
 
     if post_write:
         # POST-SCAN WRITE VARIANT: the scan carries only the tiny per-layer
