@@ -139,3 +139,20 @@ class TestPagedVsContiguous:
         run_engine(paged, PROMPTS[1], 8)   # churn the pool
         run_engine(paged, PROMPTS[2], 8)
         assert run_engine(paged, PROMPTS[0], 8) == baseline
+
+    def test_inactive_slots_do_not_corrupt_live_pages(self, llama):
+        """Inactive slots' stale/zero block tables must not be written
+        through during decode.
+
+        With a pool so small the live request is handed page 0 (the free
+        list pops from the end, so page 0 goes out last), every inactive
+        slot's all-zero block-table row points INTO the live request's
+        allocation; if decode scatter-writes for inactive slots, the live
+        request's historical KV is overwritten with garbage each step."""
+        spec, params = llama
+        plain = InferenceEngine(spec, params, make_config(), eos_token_id=2)
+        expect = run_engine(plain, PROMPTS[1], 14)
+        # 7 prompt + 14 new + 1 = 22 tokens -> exactly 3 pages of 8
+        paged = PagedInferenceEngine(spec, params, make_config(),
+                                     eos_token_id=2, num_pages=3)
+        assert run_engine(paged, PROMPTS[1], 14) == expect

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 import time
 from functools import partial
 from typing import Any, NamedTuple, Optional
@@ -102,13 +103,15 @@ class PrefillResult(NamedTuple):
 
 
 def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
-                 cache: KVCache, state: EngineState):
+                 cache: KVCache, state: EngineState,
+                 write_mode: str = "post"):
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
     ids = state.history[rows, pos]
     logits, cache = core.decode(
-        spec, params, ids, pos, cache, context_len=pos + 1)
+        spec, params, ids, pos, cache, context_len=pos + 1,
+        write_mode=write_mode)
     next_ids, details = sampling.next_tokens(
         logits, state.params, state.gen_count, state.history,
         state.history_len, eos_id, history_start=state.hist_start)
@@ -125,7 +128,8 @@ def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
 
 
 def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
-                  params: dict, cache: KVCache, state: EngineState):
+                  params: dict, cache: KVCache, state: EngineState,
+                  write_mode: str = "post"):
     """`num_steps` decode iterations in one compiled dispatch; packed
     outputs stacked [num_steps, S, 3+3*CAP]. Amortizes the per-dispatch and
     per-fetch host/tunnel overhead — with the host-side stopping logic
@@ -134,7 +138,8 @@ def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
 
     def body(carry, _):
         cache, state = carry
-        cache, state, packed = _decode_step(spec, eos_id, params, cache, state)
+        cache, state, packed = _decode_step(spec, eos_id, params, cache, state,
+                                            write_mode=write_mode)
         return (cache, state), packed
 
     (cache, state), packed_seq = jax.lax.scan(
@@ -239,7 +244,10 @@ class InferenceEngine:
         # slots freed by the scheduler thread while a pipelined dispatch may
         # be in flight; the device-side active-mask update is applied at the
         # start of the NEXT engine call (same thread as the dispatch), so
-        # host code never touches possibly-donated buffers
+        # host code never touches possibly-donated buffers. The list itself
+        # is shared between the event-loop thread (free) and the executor
+        # thread (drain) — guarded by _free_lock.
+        self._free_lock = threading.Lock()
         self._pending_frees: list[int] = []
 
         self.decode_chunk = max(1, config.decode_chunk)
@@ -268,13 +276,15 @@ class InferenceEngine:
     def free(self, slot: int) -> None:
         """Release a slot (host bookkeeping only; the device mask update is
         deferred to the next engine call — see _pending_frees)."""
-        self._pending_frees.append(slot)
+        with self._free_lock:
+            self._pending_frees.append(slot)
         self.free_slots.append(slot)
 
     def _apply_pending_frees(self) -> None:
-        if self._pending_frees:
-            slots = jnp.asarray(self._pending_frees, jnp.int32)
-            self._pending_frees = []
+        with self._free_lock:
+            pending, self._pending_frees = self._pending_frees, []
+        if pending:
+            slots = jnp.asarray(pending, jnp.int32)
             self.state = self.state._replace(
                 active=self.state.active.at[slots].set(False))
 

@@ -17,6 +17,7 @@ the batcher consults before admitting.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from functools import partial
 from typing import Any, Optional
@@ -43,7 +44,8 @@ def _paged_decode_step(spec: DecoderSpec, eos_id: int, page_size: int,
     pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
     ids = state.history[rows, pos]
     logits, cache = paged_core.decode_paged(
-        spec, params, ids, pos, cache, pos + 1, page_size)
+        spec, params, ids, pos, cache, pos + 1, page_size,
+        active=state.active)
     next_ids, details = sampling.next_tokens(
         logits, state.params, state.gen_count, state.history,
         state.history_len, eos_id, history_start=state.hist_start)
@@ -134,6 +136,9 @@ class PagedInferenceEngine:
             max_pages_per_slot, dtype)
         self.state = EngineState.create(self.num_slots, self.max_seq)
         self.free_slots: list[int] = list(range(self.num_slots))
+        # free() runs on the event-loop thread while decode dispatch runs on
+        # the executor thread (pipelined decode) — guard the pending list
+        self._free_lock = threading.Lock()
         self._pending_frees: list[int] = []
         # host mirror of the block table (avoids a device fetch per prefill)
         self._bt_host = np.zeros((self.num_slots, max_pages_per_slot), np.int32)
@@ -186,14 +191,18 @@ class PagedInferenceEngine:
         return self.free_slots.pop() if self.free_slots else None
 
     def free(self, slot: int) -> None:
-        self._pending_frees.append(slot)
+        with self._free_lock:
+            self._pending_frees.append(slot)
         self.free_slots.append(slot)
         self.allocator.free(slot)
+        # stale page ids in the freed row must never be written through again
+        self._bt_host[slot] = 0
 
     def _apply_pending_frees(self) -> None:
-        if self._pending_frees:
-            slots = jnp.asarray(self._pending_frees, jnp.int32)
-            self._pending_frees = []
+        with self._free_lock:
+            pending, self._pending_frees = self._pending_frees, []
+        if pending:
+            slots = jnp.asarray(pending, jnp.int32)
             self.state = self.state._replace(
                 active=self.state.active.at[slots].set(False))
 

@@ -17,6 +17,7 @@ Differences from the decoder-only engine:
 
 from __future__ import annotations
 
+import threading
 import time
 from functools import partial
 from typing import Any, Optional
@@ -68,7 +69,11 @@ def _s2s_prefill_step(spec: T5Spec, eos_id: int, dec_width: int,
         gen_count=jnp.zeros((n,), jnp.int32),
         token_history=dec_ids, history_len=dec_lengths,
         eos_token_id=eos_id,
-        history_start=jnp.maximum(dec_lengths - 1, 0))
+        # penalty window starts after the decoder start token + tuned
+        # prefix placeholders — same convention as decode steps below, and
+        # matching the reference's pad-exclusion (T5's start token IS pad;
+        # reference: utils/logits_process.py:93-140)
+        history_start=dec_lengths)
 
     hist = state.history
     hist = hist.at[slots[:, None], jnp.arange(dec_width)[None, :]].set(
@@ -95,7 +100,7 @@ def _s2s_decode_step(spec: T5Spec, eos_id: int, params: dict,
     logits, dstate = t5.decoder_step(spec, params, ids, pos, dstate)
     next_ids, details = sampling.next_tokens(
         logits, state.params, state.gen_count, state.history,
-        state.history_len, eos_id)
+        state.history_len, eos_id, history_start=state.hist_start)
     active = state.active
     write_pos = jnp.clip(state.history_len, 0, t_max - 1)
     new_hist = state.history.at[rows, write_pos].set(
@@ -119,13 +124,20 @@ class Seq2SeqEngine:
         self.eos_token_id = eos_token_id
         self.num_slots = config.max_batch_slots
         self.max_enc = config.max_sequence_length
-        self.max_dec = min(config.max_new_tokens + 8, config.max_sequence_length)
+        # decoder budget: start token + tuned decoder prefix + generated
+        # tokens. A prefix longer than the slack would otherwise silently
+        # clip history/self-KV writes at the tail of the generation.
+        dec_prefix_budget = (config.max_prompt_prefix_length
+                             if config.prefix_store_path else 0)
+        self.max_dec = min(1 + dec_prefix_budget + config.max_new_tokens,
+                           config.max_sequence_length)
 
         dtype = jax.tree_util.tree_leaves(params)[0].dtype
         self.dstate = T5DecodeState.create(
             spec, self.num_slots, self.max_dec, self.max_enc, dtype)
         self.state = EngineState.create(self.num_slots, self.max_dec)
         self.free_slots: list[int] = list(range(self.num_slots))
+        self._free_lock = threading.Lock()
         self._pending_frees: list[int] = []
 
         self._decode_fn = jax.jit(
@@ -142,13 +154,15 @@ class Seq2SeqEngine:
         return self.free_slots.pop() if self.free_slots else None
 
     def free(self, slot: int) -> None:
-        self._pending_frees.append(slot)
+        with self._free_lock:
+            self._pending_frees.append(slot)
         self.free_slots.append(slot)
 
     def _apply_pending_frees(self) -> None:
-        if self._pending_frees:
-            slots = jnp.asarray(self._pending_frees, jnp.int32)
-            self._pending_frees = []
+        with self._free_lock:
+            pending, self._pending_frees = self._pending_frees, []
+        if pending:
+            slots = jnp.asarray(pending, jnp.int32)
             self.state = self.state._replace(
                 active=self.state.active.at[slots].set(False))
 

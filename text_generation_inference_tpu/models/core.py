@@ -511,6 +511,7 @@ def decode(
     positions: jax.Array,    # [S] i32: position of that token (= context_len - 1 + 1 write pos)
     cache: KVCache,
     context_len: jax.Array,  # [S] i32: valid tokens in cache per slot AFTER this step's write
+    write_mode: str = "post",
 ) -> tuple[jax.Array, KVCache]:
     """One decode step over every slot. Returns ([S, V] f32 logits, cache).
 
@@ -519,6 +520,17 @@ def decode(
     `context_len[s]` must equal `positions[s] + 1` for active slots; inactive
     slots just recompute garbage into their own slot, which is later
     overwritten by the next prefill.
+
+    `write_mode` (static; flows from ServingConfig.decode_write_mode):
+      * "post" (default) — the layer scan carries only the current token's
+        per-layer k/v and ONE batched scatter updates all layers afterwards;
+        attention is an explicit einsum over the read-only cache plus the
+        new column. Fastest at short/medium max_seq (+17% on v5e, see
+        ROADMAP), but bypasses ops.attention's length-aware Pallas kernel,
+        so dead-KV DMA is not skipped.
+      * "scan" — k/v written into the cache inside each layer; attention
+        goes through ops.attention.decode_attention, whose Pallas kernel
+        skips dead-KV reads at T >= 2048. Prefer for long max_seq.
     """
     s = ids.shape[0]
     t_max = cache.max_seq
@@ -541,11 +553,7 @@ def decode(
     group = spec.num_heads // spec.num_kv_heads
     rows = jnp.arange(s)
 
-    import os as _os
-
-    post_write = _os.getenv("DECODE_WRITE_MODE", "post") == "post"
-
-    if post_write:
+    if write_mode == "post":
         # POST-SCAN WRITE VARIANT: the scan carries only the tiny per-layer
         # k/v (the current token), attending over the read-only cache plus
         # the new column explicitly; ONE scatter updates all layers after

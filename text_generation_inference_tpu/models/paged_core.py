@@ -57,6 +57,7 @@ def decode_paged(
     cache: PagedKVCache,
     context_len: jax.Array,  # [S] = positions + 1 for active slots
     page_size: int,
+    active: Optional[jax.Array] = None,   # [S] bool; inactive writes dropped
 ) -> tuple[jax.Array, PagedKVCache]:
     """One decode step over every slot via the page pool."""
     s = ids.shape[0]
@@ -68,9 +69,16 @@ def decode_paged(
     else:
         cos = sin = None
 
-    # flat pool row for each slot's write position
+    # flat pool row for each slot's write position; INACTIVE slots must not
+    # write at all — their block-table rows are stale (freed slots keep old
+    # page ids, fresh slots point at page 0), so an in-bounds write would
+    # corrupt whichever live request now owns those pool rows. Route them
+    # out of bounds and scatter with mode="drop".
+    pool_rows = cache.k.shape[2]
     write_rows = (bt[jnp.arange(s), positions // page_size] * page_size
                   + positions % page_size)
+    if active is not None:
+        write_rows = jnp.where(active, write_rows, pool_rows)
     scale = 1.0 / math.sqrt(spec.head_dim)
     group = spec.num_heads // spec.num_kv_heads
     use_kernel = _use_kernel() and spec.pos != "alibi"
@@ -82,8 +90,10 @@ def decode_paged(
         if cos is not None:
             q = _apply_rope(spec, q, cos, sin)
             k = _apply_rope(spec, k, cos, sin)
-        kp = kp.at[:, write_rows].set(k.transpose(1, 0, 2).astype(kp.dtype))
-        vp = vp.at[:, write_rows].set(v.transpose(1, 0, 2).astype(vp.dtype))
+        kp = kp.at[:, write_rows].set(
+            k.transpose(1, 0, 2).astype(kp.dtype), mode="drop")
+        vp = vp.at[:, write_rows].set(
+            v.transpose(1, 0, 2).astype(vp.dtype), mode="drop")
 
         qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
         if use_kernel:
