@@ -64,8 +64,8 @@ def _forward_step(write, read_rows, params, cache, state):
 
     def layer(x, inputs):
         lp, ck, cv = inputs
-        ck = ck[:, :read_rows]
-        cv = cv[:, :read_rows]
+        ck = ck[:, :, :read_rows]     # [S, K, T, D] -> [S, K, read_rows, D]
+        cv = cv[:, :, :read_rows]
         h = core._norm(spec, lp["ln1"], x)
         q, k, v = core._qkv(spec, lp, h)
         q = core._apply_rope(spec, q, cos, sin)

@@ -58,65 +58,102 @@ class IncrementalDecoder:
         return delta
 
 
-class StopSequenceState:
-    """Byte-window stop-sequence matching over the accumulated output text.
+class StopStateBase:
+    """Shared output-assembly over an accumulated UTF-8 BYTE buffer.
 
-    Mirrors the router's per-token stop-sequence evaluation
-    (reference: router/src/batcher.rs:757-807): after each text delta, check
-    whether any stop sequence now occurs; report the sequence and the
-    position so the caller can trim the output (include_stop_sequence flag,
-    reference: decoder.rs hold_back_bytes buffering).
+    All offsets (match ends, hold-back lengths) are byte offsets of the
+    UTF-8 stream — matching the reference, which evaluates stop sequences
+    on byte subslices to avoid UTF-8 boundary problems (reference:
+    router/src/batcher.rs:792-807) and holds back `hold_back_bytes` from
+    streaming (decoder.rs:162-526). Subclasses implement the matcher
+    (`feed`/`held_back_len`); this base renders final/visible text.
     """
+
+    stop_sequences: list[str]
+    include: bool
 
     def __init__(self, stop_sequences: list[str], include_stop_sequence: bool):
         self.stop_sequences = stop_sequences
         self.include = include_stop_sequence
-        self.text = ""
-        self._max_len = max((len(s) for s in stop_sequences), default=0)
+        self._buf = bytearray()
+        self._matched: Optional[tuple[str, int]] = None
+
+    @property
+    def text(self) -> str:
+        return bytes(self._buf).decode("utf-8", errors="replace")
 
     def feed(self, delta: str) -> Optional[tuple[str, int]]:
-        """Append delta; if a stop sequence completed inside the new text,
-        return (sequence, end_index_in_full_text)."""
-        if not self.stop_sequences:
-            self.text += delta
-            return None
-        start_scan = max(len(self.text) - self._max_len + 1, 0)
-        self.text += delta
-        window = self.text[start_scan:]
-        best: Optional[tuple[str, int]] = None
-        for seq in self.stop_sequences:
-            idx = window.find(seq)
-            if idx != -1:
-                end = start_scan + idx + len(seq)
-                if best is None or end < best[1]:
-                    best = (seq, end)
-        return best
-
-    def final_text(self, matched: Optional[tuple[str, int]]) -> str:
-        """Full output text, trimmed per the include_stop_sequence setting."""
-        if matched is None:
-            return self.text
-        seq, end = matched
-        return self.text[:end] if self.include else self.text[: end - len(seq)]
+        raise NotImplementedError
 
     def held_back_len(self) -> int:
-        """How many trailing chars must be withheld from streaming because
-        they could still become part of a stop sequence (reference:
-        decoder.rs hold_back_bytes)."""
-        if not self.stop_sequences:
+        """Trailing BYTES withheld from streaming because they could still
+        become part of a stop sequence."""
+        raise NotImplementedError
+
+    def final_text(self, matched: Optional[tuple[str, int]] = None) -> str:
+        """Full output text, trimmed per the include_stop_sequence setting.
+        `matched` is (sequence, byte_end_of_match)."""
+        m = matched if matched is not None else self._matched
+        if m is None:
+            end = len(self._buf)
+        else:
+            seq, match_end = m
+            end = match_end if self.include else match_end - len(seq.encode())
+        return bytes(self._buf[:end]).decode("utf-8", errors="replace")
+
+    def visible_text(self, matched, final: bool) -> str:
+        """Prefix of the output safe to stream: everything on final;
+        while streaming, the text minus (a) the stop-sequence byte
+        hold-back and (b) the last grapheme cluster, which a later token
+        could still extend (reference: decoder.rs:487-493)."""
+        if final:
+            return self.final_text(matched)
+        end = len(self._buf) - self.held_back_len()
+        # a byte cut can land mid-codepoint; drop the partial tail
+        text = bytes(self._buf[:end]).decode("utf-8", errors="ignore")
+        from . import graphemes
+
+        return text[: graphemes.safe_emit_len(text)]
+
+
+class StopSequenceState(StopStateBase):
+    """Pure-Python byte-exact matcher (fallback when libtokenproc.so is not
+    built); same semantics as utils/native_tokenproc.NativeStopState."""
+
+    def __init__(self, stop_sequences: list[str], include_stop_sequence: bool):
+        super().__init__(stop_sequences, include_stop_sequence)
+        self._seqs = [s.encode() for s in stop_sequences]
+        self._max_len = max((len(b) for b in self._seqs), default=0)
+
+    def feed(self, delta: str) -> Optional[tuple[str, int]]:
+        """Append delta; if a stop sequence completed inside the new bytes,
+        return (sequence, byte_end_index_in_full_stream). Scans only the
+        window that could contain a newly-completed match."""
+        if self._matched is not None:
+            return self._matched
+        if not self._seqs:
+            self._buf.extend(delta.encode())
+            return None
+        start_scan = max(len(self._buf) - self._max_len + 1, 0)
+        self._buf.extend(delta.encode())
+        window = bytes(self._buf[start_scan:])
+        best: Optional[tuple[str, int]] = None
+        for seq, b in zip(self.stop_sequences, self._seqs):
+            idx = window.find(b)
+            if idx != -1:
+                end = start_scan + idx + len(b)
+                if best is None or end < best[1]:
+                    best = (seq, end)
+        self._matched = best
+        return best
+
+    def held_back_len(self) -> int:
+        if not self._seqs:
             return 0
         held = 0
-        for seq in self.stop_sequences:
-            for k in range(min(len(seq) - 1, len(self.text)), 0, -1):
-                if self.text.endswith(seq[:k]):
+        for b in self._seqs:
+            for k in range(min(len(b) - 1, len(self._buf)), 0, -1):
+                if self._buf.endswith(b[:k]):
                     held = max(held, k)
                     break
         return held
-
-    def visible_text(self, matched, final: bool) -> str:
-        """Prefix of the output safe to show: everything on final, text
-        minus the stop-seq hold-back while streaming."""
-        if final:
-            return self.final_text(matched)
-        held = self.held_back_len()
-        return self.text[: len(self.text) - held] if held else self.text

@@ -56,28 +56,27 @@ def available() -> bool:
     return _load() is not None
 
 
-class NativeStopState:
+from .detokenizer import StopStateBase
+
+
+class NativeStopState(StopStateBase):
     """Byte-exact stop-sequence state backed by native/tokenproc.cpp.
 
-    API mirrors utils/detokenizer.StopSequenceState, but text offsets are in
-    BYTES of the UTF-8 stream; `final_text` returns a decoded str.
+    Matching and hold-back run in C++; output assembly (final/visible text,
+    grapheme-safe streaming cut) is shared with the Python fallback via
+    StopStateBase, so both paths have identical semantics.
     """
 
     def __init__(self, stop_sequences: list[str], include_stop_sequence: bool):
         lib = _load()
         if lib is None:
             raise RuntimeError("libtokenproc.so not built (make -C native)")
+        super().__init__(stop_sequences, include_stop_sequence)
         self._lib = lib
-        self.stop_sequences = stop_sequences
-        self.include = include_stop_sequence
         encoded = [s.encode() for s in stop_sequences]
         arr = (ctypes.c_char_p * len(encoded))(*encoded)
         lens = (ctypes.c_int32 * len(encoded))(*[len(e) for e in encoded])
         self._h = lib.tp_create(arr, lens, len(encoded))
-        self._matched: Optional[tuple[str, int]] = None
-        # byte mirror of the accumulated output (matching runs natively;
-        # the mirror exists only to decode visible prefixes)
-        self._buf = bytearray()
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -103,20 +102,3 @@ class NativeStopState:
     @property
     def text_bytes_len(self) -> int:
         return int(self._lib.tp_text_len(self._h))
-
-    def final_text(self, matched=None) -> str:
-        m = matched if matched is not None else self._matched
-        if m is None:
-            end = len(self._buf)
-        else:
-            seq, match_end = m
-            end = match_end if self.include else match_end - len(seq.encode())
-        return bytes(self._buf[:end]).decode("utf-8", errors="replace")
-
-    def visible_text(self, matched, final: bool) -> str:
-        if final:
-            return self.final_text(matched)
-        held = self.held_back_len()
-        end = len(self._buf) - held
-        # never cut inside a UTF-8 sequence: drop trailing partial bytes
-        return bytes(self._buf[:end]).decode("utf-8", errors="ignore")
