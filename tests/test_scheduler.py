@@ -303,3 +303,159 @@ class TestStreaming:
             assert text == "<8><9>"
             await b.stop()
         run_async(go())
+
+
+class TestSubmitAtomicity:
+    def test_batch_over_capacity_leaves_no_orphans(self):
+        """A capacity-rejected batch must not leave earlier requests of the
+        batch enqueued (reference reserves the whole batch upfront,
+        grpc_server.rs:131-140)."""
+        async def go():
+            b, eng = make_batcher(max_concurrent_requests=2)
+            from text_generation_inference_tpu.scheduler.batcher import (
+                QueueFullError)
+
+            reqs = [make_request([i + 1]) for i in range(3)]
+            with pytest.raises(QueueFullError):
+                b.submit_all(reqs)
+            assert len(b.queue) == 0
+            # a fitting batch still goes through
+            b.submit_all(reqs[:2])
+            assert len(b.queue) == 2
+        run_async(go())
+
+
+class TestPrefillThrottle:
+    """Reference add-on semantics: min-size ramp (batcher.rs:464-471),
+    prefill rate limiter (516-518), about-to-complete guard (459-461)."""
+
+    def _batcher_with_active(self, n_active, steps_since=0, remaining=10):
+        b, eng = make_batcher()
+        for i in range(n_active):
+            req = make_request([1], max_new=remaining)
+            req.slot = eng.acquire_slot()
+            b.active[req.slot] = req
+        b.steps_since_prefill = steps_since
+        return b, eng
+
+    def test_ramp_requires_large_addon_when_fresh(self):
+        # batch_size=3, waiting=0, max_waiting=4 -> min_size = 3*4//4 = 3
+        b, eng = self._batcher_with_active(3, steps_since=0)
+        b.queue.append(make_request([5]))
+        assert b._should_prefill() is None     # 1 < min_size 3
+
+    def test_ramp_decays_with_waiting_tokens(self):
+        # batch_size=3, waiting=3, max_waiting=4 -> min_size = 3*1//4 = 0 -> 1
+        b, eng = self._batcher_with_active(3, steps_since=3)
+        b.queue.append(make_request([5]))
+        batch = b._should_prefill()
+        assert batch is not None and len(batch) == 1
+
+    def test_waited_past_max_admits_single(self):
+        b, eng = self._batcher_with_active(3, steps_since=4)
+        b.queue.append(make_request([5]))
+        assert b._should_prefill() is not None
+
+    def test_rate_limiter_blocks_addon(self):
+        b, eng = self._batcher_with_active(1, steps_since=100)
+        b._next_prefill_after = time.monotonic() + 60.0
+        b.queue.append(make_request([5]))
+        assert b._should_prefill() is None
+
+    def test_rate_limiter_expired_admits(self):
+        b, eng = self._batcher_with_active(1, steps_since=100)
+        b._next_prefill_after = time.monotonic() - 0.1
+        b.queue.append(make_request([5]))
+        assert b._should_prefill() is not None
+
+    def test_rate_limiter_ignored_with_empty_batch(self):
+        b, eng = make_batcher()
+        b._next_prefill_after = time.monotonic() + 60.0
+        b.queue.append(make_request([5]))
+        # no active batch: initial prefill is never rate-limited
+        assert b._should_prefill() is not None
+
+    def test_about_to_complete_guard(self):
+        # all active requests within 1 token of done: don't extend
+        b, eng = self._batcher_with_active(2, steps_since=100, remaining=5)
+        for req in b.active.values():
+            for _ in range(4):   # 4 of 5 tokens generated -> remaining 1
+                from text_generation_inference_tpu.scheduler.request import (
+                    TokenRecord)
+                req.generated.append(TokenRecord(token_id=1))
+        b.queue.append(make_request([5]))
+        assert b._should_prefill() is None
+
+
+class FailingEngine(FakeEngine):
+    """FakeEngine whose prefill can be armed to raise."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.fail_next_prefill = None   # exception instance to raise once
+        self.reset_calls = 0
+
+    def prefill(self, *a, **kw):
+        if self.fail_next_prefill is not None:
+            exc, self.fail_next_prefill = self.fail_next_prefill, None
+            raise exc
+        return super().prefill(*a, **kw)
+
+    def reset(self):
+        self.reset_calls += 1
+        self.slot_state.clear()
+        self.free_slots = list(range(self.num_slots))
+
+
+class TestErrorScoping:
+    async def _wait(self, req):
+        while req.result_future is None:
+            await asyncio.sleep(0.01)
+        await req.result_future
+
+    def test_host_error_scoped_to_prefill_batch(self):
+        """A host-side prefill failure fails only that batch; an already
+        decoding request keeps generating (reference: batcher.rs:725-737)."""
+        async def go():
+            eng = FailingEngine()
+            b, _ = make_batcher(engine=eng)
+            b.start()
+            ok = make_request([3], max_new=30)
+            b.submit(ok)
+            # wait until ok is actively decoding
+            while not b.active:
+                await asyncio.sleep(0.005)
+            eng.fail_next_prefill = ValueError("boom (host)")
+            bad = make_request([4], max_new=3)
+            b.submit(bad)
+            await asyncio.wait_for(self._wait(bad), timeout=5)
+            assert bad.stop_reason == StopReason.ERROR
+            assert eng.reset_calls == 0
+            # survivor still completes normally
+            await asyncio.wait_for(self._wait(ok), timeout=10)
+            assert ok.stop_reason != StopReason.ERROR
+            await b.stop()
+        run_async(go())
+
+    def test_device_error_resets_engine_and_recovers(self):
+        async def go():
+            from text_generation_inference_tpu.engine.engine import (
+                EngineDeviceError)
+
+            eng = FailingEngine()
+            b, _ = make_batcher(engine=eng)
+            b.start()
+            eng.fail_next_prefill = EngineDeviceError("device dead")
+            bad = make_request([4], max_new=3)
+            b.submit(bad)
+            await asyncio.wait_for(self._wait(bad), timeout=5)
+            assert bad.stop_reason == StopReason.ERROR
+            assert eng.reset_calls == 1
+            assert len(eng.free_slots) == eng.num_slots
+            # server recovers: next request generates fine
+            ok = make_request([3], max_new=3)
+            b.submit(ok)
+            await asyncio.wait_for(self._wait(ok), timeout=10)
+            assert ok.stop_reason != StopReason.ERROR
+            await b.stop()
+        run_async(go())

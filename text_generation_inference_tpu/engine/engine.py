@@ -41,6 +41,15 @@ from .sampling import SlotSamplingParams
 logger = logging.getLogger(__name__)
 
 
+class EngineDeviceError(RuntimeError):
+    """A device step failed after its donated buffers may have been
+    consumed: cache/state contents are undefined and the engine must be
+    `reset()` before further use. The scheduler uses this to scope failure
+    handling — host-side errors keep device state intact and fail only the
+    affected requests (reference: batcher.rs:725-737 scopes failures to the
+    affected batch segment)."""
+
+
 class EngineState(NamedTuple):
     """Per-slot device state (all leading dims = num_slots)."""
 
@@ -266,6 +275,26 @@ class InferenceEngine:
 
     # -- capacity ----------------------------------------------------------
 
+    def reset(self) -> None:
+        """Reinitialize all device-side batch state after an
+        EngineDeviceError: a raised jit call leaves its donated buffers
+        (cache/state) undefined. Model params are never donated and
+        survive. All slots become free; callers must have failed/evicted
+        their in-flight requests first."""
+        cache_dtype = self.cache.k.dtype   # aval metadata survives deletion
+        self.cache = KVCache.create(self.spec, self.num_slots, self.max_seq,
+                                    cache_dtype)
+        self.state = EngineState.create(self.num_slots, self.max_seq)
+        if self.mesh is not None:
+            from ..parallel import sharding as shd
+
+            self.cache = shd.shard_cache(self.cache, self.spec, self.mesh)
+            self.state = shd.replicate(self.state, self.mesh)
+        self.free_slots = list(range(self.num_slots))
+        with self._free_lock:
+            self._pending_frees.clear()
+        logger.warning("engine device state reset (all slots cleared)")
+
     @property
     def num_active(self) -> int:
         return self.num_slots - len(self.free_slots)
@@ -364,8 +393,11 @@ class InferenceEngine:
                 jnp.asarray(prefix_lens, jnp.int32)]
         if has_prefix:
             args.append(embeds_arg)
-        self.cache, self.state, packed, pdet = fn(*args)
-        step = StepResult(*sampling.unpack_step_outputs(packed))
+        try:
+            self.cache, self.state, packed, pdet = fn(*args)
+            step = StepResult(*sampling.unpack_step_outputs(packed))
+        except Exception as e:
+            raise EngineDeviceError(f"prefill step failed: {e}") from e
         self.last_forward_ns = time.monotonic_ns() - t0
 
         prompt_details = None
@@ -428,9 +460,12 @@ class InferenceEngine:
         self.last_n_emitted = None   # every step row is valid for every slot
         self._apply_pending_frees()
         t0 = time.monotonic_ns()
-        self.cache, self.state, packed = self._decode_fn(
-            self.model_params, self.cache, self.state)
-        packed = jax.device_get(packed)
+        try:
+            self.cache, self.state, packed = self._decode_fn(
+                self.model_params, self.cache, self.state)
+            packed = jax.device_get(packed)
+        except Exception as e:
+            raise EngineDeviceError(f"decode step failed: {e}") from e
         if self.decode_chunk == 1:
             results = [StepResult(*sampling.unpack_step_outputs(packed))]
         else:

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import asyncio
 import logging
-import math
 import time
 from collections import deque
 from functools import partial
@@ -29,7 +28,7 @@ from typing import Optional
 import numpy as np
 
 from ..config import ServingConfig
-from ..engine.engine import InferenceEngine, StepResult
+from ..engine.engine import EngineDeviceError, InferenceEngine, StepResult
 from ..utils import metrics
 from .request import GenRequest, StopReason, TokenRecord
 
@@ -39,8 +38,9 @@ logger = logging.getLogger(__name__)
 # (reference: router/src/queue.rs:30-32)
 QUEUE_JUMP_CUTOFF_S = 1.0
 
-# minimum add-on batch size ramp divisor (reference: batcher.rs:464-471)
-MIN_ADDON_DIVISOR = 8
+# batches within this many tokens of fully completing are not extended
+# (reference: batcher.rs:459-461 "don't interfere if about to complete")
+NEARLY_DONE_TOKENS = 2
 
 
 class QueueFullError(Exception):
@@ -60,6 +60,10 @@ class Batcher:
         self._task: Optional[asyncio.Task] = None
         self._stopping = False
         self.steps_since_prefill = 0
+        # prefill rate limiter: no add-on prefill before this monotonic time
+        # (reference: batcher.rs:516-518 — wait at least half as long as the
+        # last prefill took before doing another)
+        self._next_prefill_after = 0.0
         self.healthy = True
         # in-flight decode dispatch (pipelining: the device computes the next
         # chunk while the host processes the previous one)
@@ -79,11 +83,22 @@ class Batcher:
     # -- submission ---------------------------------------------------------
 
     def submit(self, req: GenRequest) -> None:
-        if len(self.queue) + len(self.active) >= self.config.max_concurrent_requests:
+        self.submit_all([req])
+
+    def submit_all(self, reqs: list[GenRequest]) -> None:
+        """Admit a whole batch or nothing: capacity is checked for the full
+        batch before any request is enqueued, so a capacity rejection can
+        never leave earlier requests of the batch generating with no
+        consumer (reference: grpc_server.rs:131-140 reserves the whole
+        batch's semaphore permits upfront)."""
+        if (len(self.queue) + len(self.active) + len(reqs)
+                > self.config.max_concurrent_requests):
             metrics.increment("tgi_request_failure", reason="conc_limit")
             raise QueueFullError("too many requests in progress")
-        req.attach_loop(asyncio.get_running_loop())
-        self.queue.append(req)
+        loop = asyncio.get_running_loop()
+        for req in reqs:
+            req.attach_loop(loop)
+            self.queue.append(req)
         metrics.gauge_set("tgi_queue_size", len(self.queue))
         self._wake.set()
 
@@ -107,9 +122,12 @@ class Batcher:
         now = time.monotonic()
         chosen: list[GenRequest] = []
         lens: list[int] = []
-        # paged engines meter KV capacity in pages (the reference's
-        # token-weight admission, batch_types.rs); slot engines reserve full
-        # slots so only the slot count limits
+        # paged engines meter KV capacity in pages — the reference's
+        # token-weight admission walk (queue.rs:305-344, batch_types.rs)
+        # realized exactly: reserved pages ARE worst-case token weight.
+        # Slot engines statically preallocate [S, max_seq] KV, so the
+        # worst-case weight scan is vacuous there (admission can never
+        # overcommit memory); only the free-slot count limits.
         alloc = getattr(self.engine, "allocator", None)
         reserved_pages = 0
         for req in list(self.queue):
@@ -145,10 +163,24 @@ class Batcher:
     def _should_prefill(self) -> Optional[list[GenRequest]]:
         if not self.queue or not self.engine.free_slots:
             return None
-        waited = self.steps_since_prefill >= self.config.max_waiting_tokens
         min_size = 1
-        if self.active and not waited:
-            min_size = max(1, math.ceil(len(self.active) / MIN_ADDON_DIVISOR))
+        if self.active:
+            # add-on prefill (decode in progress): apply the rate limiter,
+            # the about-to-complete guard, and the min-size ramp — all
+            # reference semantics (batcher.rs:459-471, 516-518)
+            if time.monotonic() < self._next_prefill_after:
+                return None
+            remaining = max(
+                (r.stopping.max_new_tokens - r.generated_count
+                 for r in self.active.values()), default=0)
+            if remaining < NEARLY_DONE_TOKENS:
+                return None
+            batch_size = len(self.active)
+            waiting = self.steps_since_prefill
+            max_waiting = self.config.max_waiting_tokens
+            if batch_size > 1 and waiting < max_waiting:
+                min_size = max(
+                    1, (batch_size * (max_waiting - waiting)) // max_waiting)
         batch = self._pick_prefill_batch()
         if len(batch) >= min_size:
             return batch
@@ -196,7 +228,19 @@ class Batcher:
                     # queued requests exist but none admissible right now
                     await asyncio.sleep(0.001)
                 self.healthy = True
+            except EngineDeviceError:
+                # a failed device step consumed its donated buffers: all
+                # in-flight state is lost, but the engine is rebuilt so the
+                # server keeps serving new requests
+                logger.exception("device step failed; resetting engine state")
+                self.healthy = False
+                self._pending_decode = None
+                metrics.increment("tgi_batch_inference_failure", reason="error")
+                self._fail_all("internal inference error", engine_reset=True)
             except Exception:
+                # host-side error: device state is still consistent, but
+                # which tokens were processed is ambiguous — fail active
+                # requests, keep the engine state
                 logger.exception("batching loop error; failing in-flight requests")
                 self.healthy = False
                 self._pending_decode = None
@@ -214,26 +258,49 @@ class Batcher:
             self.queue.remove(req)
         metrics.gauge_set("tgi_queue_size", len(self.queue))
         want_details = any(r.options.input_tokens for r in batch)
-        prefix_embeds = None
-        if any(r.prefix_id for r in batch):
-            prefix_embeds = [
-                self.prompt_cache.get_entry(r.prefix_id)
-                if r.prefix_id else None
-                for r in batch]
-        t0 = time.monotonic()
-        result = await loop.run_in_executor(
-            None,
-            partial(
-                self.engine.prefill,
-                [r.slot for r in batch],
-                [r.input_ids for r in batch],
-                [r.params for r in batch],
-                want_prompt_details=want_details,
-                prefix_embeds=prefix_embeds,
-            ),
-        )
-        metrics.observe("tgi_batch_inference_duration", time.monotonic() - t0,
+        try:
+            prefix_embeds = None
+            if any(r.prefix_id for r in batch):
+                prefix_embeds = [
+                    self.prompt_cache.get_entry(r.prefix_id)
+                    if r.prefix_id else None
+                    for r in batch]
+            t0 = time.monotonic()
+            result = await loop.run_in_executor(
+                None,
+                partial(
+                    self.engine.prefill,
+                    [r.slot for r in batch],
+                    [r.input_ids for r in batch],
+                    [r.params for r in batch],
+                    want_prompt_details=want_details,
+                    prefix_embeds=prefix_embeds,
+                ),
+            )
+        except EngineDeviceError:
+            logger.exception("prefill device step failed; resetting engine")
+            metrics.increment("tgi_batch_inference_failure", reason="prefill")
+            for req in batch:
+                self.active.pop(req.slot, None)
+                req.slot = None
+            self._fail_requests(batch, "internal inference error")
+            self._fail_all("internal inference error", engine_reset=True)
+            return
+        except Exception:
+            # host-side failure (e.g. prompt-cache lookup): device state is
+            # untouched — fail ONLY this batch, decode continues
+            logger.exception("prefill failed host-side; scoping to batch")
+            metrics.increment("tgi_batch_inference_failure", reason="prefill")
+            for req in batch:
+                self.active.pop(req.slot, None)
+                self.engine.free(req.slot)
+                req.slot = None
+            self._fail_requests(batch, "internal inference error")
+            return
+        prefill_duration = time.monotonic() - t0
+        metrics.observe("tgi_batch_inference_duration", prefill_duration,
                         method="prefill")
+        self._next_prefill_after = time.monotonic() + prefill_duration / 2
         self.steps_since_prefill = 0
         metrics.gauge_set("tgi_batch_current_size", len(self.active))
 
@@ -418,13 +485,27 @@ class Batcher:
                 keep.append(req)
         self.queue = keep
 
-    def _fail_all(self, message: str) -> None:
-        for slot, req in list(self.active.items()):
+    def _fail_requests(self, reqs: list[GenRequest], message: str) -> None:
+        """Complete the given requests as errored (no engine interaction)."""
+        for req in reqs:
             req.error = message
             req.stop_reason = StopReason.ERROR
-            self.engine.free(slot)
             if req.streaming and req.stream_queue is not None:
                 req.stream_queue.put_nowait(("final", None, "", StopReason.ERROR))
             if req.result_future is not None and not req.result_future.done():
                 req.result_future.set_result(req)
+
+    def _fail_all(self, message: str, engine_reset: bool = False) -> None:
+        reqs = list(self.active.values())
         self.active.clear()
+        if engine_reset and hasattr(self.engine, "reset"):
+            # device buffers are undefined: rebuild them (frees every slot)
+            self.engine.reset()
+            for req in reqs:
+                req.slot = None
+        else:
+            for req in reqs:
+                if req.slot is not None:
+                    self.engine.free(req.slot)
+                    req.slot = None
+        self._fail_requests(reqs, message)

@@ -115,8 +115,8 @@ class GenerationServicer:
             for v in validated
         ]
         try:
-            for r in reqs:
-                self.batcher.submit(r)
+            # all-or-nothing: capacity reserved for the whole batch upfront
+            self.batcher.submit_all(reqs)
         except QueueFullError as e:
             await context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
 
