@@ -268,11 +268,97 @@ def _ringbuf2_chunk(params, cache, state):
     return KVCache(k=new_k, v=new_v), state, ids_seq
 
 
+def _ringbuf3_chunk(params, cache, state):
+    """Like ringbuf2 but the buffers are READ-ONLY xs of the layer scan
+    (no ys restacking copy); the per-layer k/v stacks from the scan are
+    written into the carried buffers with ONE dynamic_update_slice per
+    step at chunk level."""
+    s, t_max = state.history.shape
+    L = spec.num_layers
+    kbuf = jnp.zeros((L, s, spec.num_kv_heads, CHUNK, spec.head_dim),
+                     cache.k.dtype)
+    vbuf = jnp.zeros_like(kbuf)
+    start_pos = jnp.clip(state.history_len - 1, 0, t_max - 1)  # [S]
+    scale = 1.0 / (spec.head_dim ** 0.5)
+    group = spec.num_heads // spec.num_kv_heads
+    rows = jnp.arange(s)
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)
+    cache_mask = key_pos[None, :] < start_pos[:, None]
+
+    def step(carry, i):
+        kbuf, vbuf, state = carry
+        pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
+        ids = state.history[rows, pos]
+        x = core._embed(spec, params, ids, pos)
+        cos, sin = core._rope_freqs(spec, pos)
+        buf_mask = jnp.arange(CHUNK)[None, :] < i               # [1, C]
+
+        def layer(x, inputs):
+            lp, ck, cv, kb, vb = inputs
+            h = core._norm(spec, lp["ln1"], x)
+            q, k, v = core._qkv(spec, lp, h)
+            q = core._apply_rope(spec, q, cos, sin)
+            k = core._apply_rope(spec, k, cos, sin)
+            qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
+            scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
+                                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(cache_mask[:, None, None, :], scores, -jnp.inf)
+            bscores = jnp.einsum("skgd,skcd->skgc", qg, kb,
+                                 preferred_element_type=jnp.float32) * scale
+            bscores = jnp.where(buf_mask[:, None, None, :], bscores, -jnp.inf)
+            score_new = jnp.sum(
+                qg.astype(jnp.float32) * k[:, :, None, :].astype(jnp.float32),
+                axis=-1) * scale
+            all_scores = jnp.concatenate(
+                [scores, bscores, score_new[..., None]], axis=-1)
+            probs = jax.nn.softmax(all_scores, axis=-1).astype(cv.dtype)
+            attn = jnp.einsum("skgt,sktd->skgd", probs[..., :t_max], cv) \
+                + jnp.einsum("skgc,skcd->skgd",
+                             probs[..., t_max:t_max + CHUNK], vb) \
+                + probs[..., t_max + CHUNK:] * v[:, :, None, :]
+            attn = attn.reshape(s, spec.num_heads, spec.head_dim)
+            attn = core._attn_out(spec, lp, attn)
+            x = x + attn
+            h2 = core._norm(spec, lp["ln2"], x)
+            x = x + core._mlp(spec, lp, h2)
+            return x, (k, v)
+
+        x, (k_all, v_all) = jax.lax.scan(
+            layer, x, (params["layers"], cache.k, cache.v, kbuf, vbuf))
+        # ONE in-place column write per step: k_all [L, S, K, D]
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, k_all[:, :, :, None, :].astype(kbuf.dtype), (0, 0, 0, i, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, v_all[:, :, :, None, :].astype(vbuf.dtype), (0, 0, 0, i, 0))
+        x = core._norm(spec, params["final_norm"], x)
+        logits = core._unembed(spec, params, x)
+        next_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        new_hist = state.history.at[rows, state.history_len].set(
+            next_ids, mode="drop")
+        state = state._replace(history=new_hist,
+                               history_len=state.history_len + 1)
+        return (kbuf, vbuf, state), next_ids
+
+    (kbuf, vbuf, state), ids_seq = jax.lax.scan(
+        step, (kbuf, vbuf, state), jnp.arange(CHUNK))
+    wpos = start_pos[None, :] + jnp.arange(CHUNK)[:, None]       # [C, S]
+    wpos = jnp.where(wpos < t_max, wpos, t_max)                  # drop OOB
+    new_k = cache.k.at[:, jnp.broadcast_to(rows[None, :], (CHUNK, s)), :,
+                       wpos, :].set(
+        kbuf.transpose(3, 1, 0, 2, 4).astype(cache.k.dtype), mode="drop")
+    new_v = cache.v.at[:, jnp.broadcast_to(rows[None, :], (CHUNK, s)), :,
+                       wpos, :].set(
+        vbuf.transpose(3, 1, 0, 2, 4).astype(cache.v.dtype), mode="drop")
+    return KVCache(k=new_k, v=new_v), state, ids_seq
+
+
 def build(variant):
     eos = 2
 
     if variant == "ringbuf2":
         return jax.jit(_ringbuf2_chunk, donate_argnums=(1, 2)), "ringbuf2"
+    if variant == "ringbuf3":
+        return jax.jit(_ringbuf3_chunk, donate_argnums=(1, 2)), "ringbuf3"
 
     if variant == "full":
         from text_generation_inference_tpu.engine.engine import _decode_multi

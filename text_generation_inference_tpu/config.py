@@ -107,6 +107,9 @@ class ServingConfig:
     # --- observability ---
     metrics_enabled: bool = True
     log_level: str = "INFO"
+    otlp_endpoint: str | None = None          # OTLP/HTTP collector base URL
+                                              # (reference: --otlp-endpoint)
+    otlp_service_name: str = "text-generation-inference-tpu"
 
     # --- misc ---
     seed_bits: int = 32                       # random seeds are 32-bit like
@@ -145,6 +148,9 @@ class ServingConfig:
             tls_key_path=os.getenv("TLS_KEY_PATH") or None,
             metrics_enabled=_env_bool("METRICS_ENABLED", True),
             log_level=_env_str("LOG_LEVEL", "INFO"),
+            otlp_endpoint=os.getenv("OTLP_ENDPOINT") or None,
+            otlp_service_name=_env_str(
+                "OTLP_SERVICE_NAME", "text-generation-inference-tpu"),
             tokenizer_threads=_env_int("TOKENIZER_THREADS", 4),
         )
         for k, v in overrides.items():

@@ -29,8 +29,9 @@ import numpy as np
 
 from ..config import ServingConfig
 from ..engine.engine import EngineDeviceError, InferenceEngine, StepResult
-from ..utils import metrics
-from .request import GenRequest, StopReason, TokenRecord
+from ..utils import metrics, tracing
+from .request import (GenRequest, ResponseOptions, StopReason,
+                      StoppingCriteria, TokenRecord)
 
 logger = logging.getLogger(__name__)
 
@@ -65,6 +66,7 @@ class Batcher:
         # last prefill took before doing another)
         self._next_prefill_after = 0.0
         self.healthy = True
+        self.last_tick = time.monotonic()   # last completed loop iteration
         # in-flight decode dispatch (pipelining: the device computes the next
         # chunk while the host processes the previous one)
         self._pending_decode = None
@@ -191,6 +193,7 @@ class Batcher:
     async def run(self) -> None:
         loop = asyncio.get_running_loop()
         while not self._stopping:
+            self.last_tick = time.monotonic()
             self._reap_cancelled_queued()
             if self._pending_decode is None and not self.active and not self.queue:
                 self._wake.clear()
@@ -300,6 +303,8 @@ class Batcher:
         prefill_duration = time.monotonic() - t0
         metrics.observe("tgi_batch_inference_duration", prefill_duration,
                         method="prefill")
+        with tracing.span("batcher.prefill", batch_size=len(batch)) as s:
+            tracing.record(s, duration_s=prefill_duration)
         self._next_prefill_after = time.monotonic() + prefill_duration / 2
         self.steps_since_prefill = 0
         metrics.gauge_set("tgi_batch_current_size", len(self.active))
@@ -336,10 +341,16 @@ class Batcher:
         # host-side token processing time, split from device forward time
         # (reference: tgi_batch_inference_tokproc_duration vs
         # forward_duration, batcher.rs:700-713)
+        tokproc_s = time.monotonic() - t_proc
+        forward_s = self.engine.last_forward_ns / 1e9
         metrics.observe("tgi_batch_inference_tokproc_duration",
-                        time.monotonic() - t_proc, method="next_token")
+                        tokproc_s, method="next_token")
         metrics.observe("tgi_batch_inference_forward_duration",
-                        self.engine.last_forward_ns / 1e9, method="next_token")
+                        forward_s, method="next_token")
+        if tracing.enabled():
+            with tracing.span("batcher.next_token",
+                              steps=len(steps)) as sp:
+                tracing.record(sp, forward_s=forward_s, tokproc_s=tokproc_s)
 
     # -- token processing ---------------------------------------------------
 
@@ -471,6 +482,40 @@ class Batcher:
             req.stream_queue.put_nowait(("final", last_rec, final_text, req.stop_reason))
         if req.result_future is not None and not req.result_future.done():
             req.result_future.set_result(req)
+
+    # -- health -------------------------------------------------------------
+
+    def loop_age(self) -> float:
+        """Seconds since the batching loop last completed an iteration."""
+        return time.monotonic() - self.last_tick
+
+    async def health_probe(self, timeout: float = 5.0) -> bool:
+        """Active liveness check: run a real 1-token dummy generation
+        through the normal pipeline (reference: health.rs:53-82 falls back
+        to a dummy Prefill when the generation-health flag is down). A
+        wedged engine/executor thread makes this time out -> unhealthy."""
+        from ..engine.engine import RequestParams
+
+        req = GenRequest(
+            input_text="", input_ids=[1],
+            params=RequestParams(max_new_tokens=1),
+            stopping=StoppingCriteria(max_new_tokens=1, min_new_tokens=0),
+            options=ResponseOptions())
+        try:
+            self.submit(req)
+        except QueueFullError:
+            return False
+        try:
+            async def _wait():
+                while req.result_future is None:
+                    await asyncio.sleep(0.01)
+                await req.result_future
+
+            await asyncio.wait_for(_wait(), timeout)
+            return req.stop_reason != StopReason.ERROR
+        except asyncio.TimeoutError:
+            req.cancelled = True
+            return False
 
     def _reap_cancelled_queued(self) -> None:
         if not self.queue:

@@ -149,6 +149,8 @@ class GenerationServicer:
 
     async def GenerateStream(self, request: pb.SingleGenerationRequest, context):
         start = time.monotonic()
+        otel_ctx = tracing.context_from_grpc_metadata(
+            context.invocation_metadata())
         validated = await self._validate(
             request.params, [request.request.text],
             request.prefix_id or None, context)
@@ -211,8 +213,16 @@ class GenerationServicer:
                     if req.options.generated_tokens and rec is not None:
                         msg.tokens.append(self._token_info(rec))
                     yield msg
-                    metrics.observe("tgi_request_duration", time.monotonic() - start)
+                    duration = time.monotonic() - start
+                    metrics.observe("tgi_request_duration", duration)
                     metrics.increment("tgi_request_success")
+                    with tracing.span("fmaas.GenerateStream",
+                                      context=otel_ctx) as s:
+                        tracing.record(
+                            s, total_time_s=duration,
+                            generated_tokens=req.generated_count,
+                            input_tokens=req.input_length,
+                            stop_reason=stop_reason.name)
                     return
         except asyncio.CancelledError:
             req.cancelled = True

@@ -1,8 +1,11 @@
 """Minimal HTTP endpoint for /health and /metrics.
 
 Counterpart of the reference's axum HTTP server (reference:
-router/src/server.rs:446-487, router/src/health.rs). Health reports 200
-while the batching loop is live; stdlib-only implementation.
+router/src/server.rs:446-487, router/src/health.rs). Health is two-level:
+the passive flag + loop-freshness check answers immediately when the
+batching loop is demonstrably live; otherwise a real 1-token dummy
+generation is run through the pipeline (reference: health.rs:53-82), so a
+wedged engine thread reports 503 instead of a stale "ok".
 """
 
 from __future__ import annotations
@@ -13,6 +16,19 @@ import logging
 from ..utils import metrics
 
 logger = logging.getLogger(__name__)
+
+# the loop ticks at least about once a second even when idle (wake-event
+# timeout); a loop older than this is either wedged or mid-long-compile
+LOOP_FRESH_S = 10.0
+PROBE_TIMEOUT_S = 30.0
+
+
+async def _health_status(batcher) -> bool:
+    if batcher is None:
+        return True
+    if batcher.healthy and batcher.loop_age() < LOOP_FRESH_S:
+        return True
+    return await batcher.health_probe(timeout=PROBE_TIMEOUT_S)
 
 
 async def _handle(batcher, reader: asyncio.StreamReader,
@@ -30,7 +46,7 @@ async def _handle(batcher, reader: asyncio.StreamReader,
             body = metrics.render().encode()
             status, ctype = "200 OK", "text/plain; version=0.0.4"
         elif path in ("/health", "/"):
-            if batcher is None or batcher.healthy:
+            if await _health_status(batcher):
                 body, status = b"ok", "200 OK"
             else:
                 body, status = b"unhealthy", "503 Service Unavailable"

@@ -122,6 +122,9 @@ async def async_serve(config: ServingConfig) -> None:
     except Exception:
         logger.debug("compilation cache unavailable", exc_info=True)
     maybe_init_distributed()
+    from ..utils import tracing
+
+    tracing.configure(config.otlp_endpoint, config.otlp_service_name)
     engine, tokenizer, model_kind = build_engine(config)
     prompt_cache = None
     if config.prefix_store_path:
