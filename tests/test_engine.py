@@ -217,3 +217,48 @@ class TestMultiPrefill:
                 outs[i].append(int(step.next_ids[s]))
         for i in range(3):
             assert outs[i] == iso[i], f"batched prefill diverged for request {i}"
+
+
+class TestWriteModeParity:
+    """ring / post / scan KV-write strategies must produce identical
+    streams, including across chunk boundaries, staggered admission/frees,
+    and alibi position bias (bloom)."""
+
+    def _build(self, model_dir, mode, chunk, dtype=jnp.float32):
+        spec, params = families.load_model(model_dir, dtype=dtype)
+        cfg = ServingConfig(
+            max_sequence_length=64, max_new_tokens=32, max_batch_slots=3,
+            prefill_buckets=[8, 16], decode_chunk=chunk,
+            decode_write_mode=mode)
+        cfg.validate()
+        return InferenceEngine(spec, params, cfg, eos_token_id=2)
+
+    def _staggered_run(self, engine):
+        """Admit A+B, decode a chunk, free B, admit C mid-stream, decode."""
+        out = {}
+        sa = engine.acquire_slot()
+        sb = engine.acquire_slot()
+        res = engine.prefill([sa, sb], [PROMPTS[0], PROMPTS[1]],
+                             [RequestParams(), RequestParams()])
+        out["a"] = [int(res.first_token.next_ids[0])]
+        out["b"] = [int(res.first_token.next_ids[1])]
+        for step in engine.decode_steps():
+            out["a"].append(int(step.next_ids[sa]))
+            out["b"].append(int(step.next_ids[sb]))
+        engine.free(sb)
+        sc = engine.acquire_slot()
+        res = engine.prefill([sc], [PROMPTS[2]], [RequestParams()])
+        out["c"] = [int(res.first_token.next_ids[0])]
+        for _ in range(2):
+            for step in engine.decode_steps():
+                out["a"].append(int(step.next_ids[sa]))
+                out["c"].append(int(step.next_ids[sc]))
+        return out
+
+    @pytest.mark.parametrize("fixture", ["tiny_llama", "tiny_bloom"])
+    def test_modes_agree(self, fixture):
+        model_dir = getattr(fixtures, fixture)()
+        ref = self._staggered_run(self._build(model_dir, "post", 4))
+        for mode in ("ring", "scan"):
+            got = self._staggered_run(self._build(model_dir, mode, 4))
+            assert got == ref, f"{mode} diverged from post on {fixture}"

@@ -116,3 +116,59 @@ def test_incremental_decode_matches_hf(setup):
         np.testing.assert_allclose(
             np.asarray(logits)[slot], ref[0, pos], rtol=RTOL, atol=ATOL,
             err_msg=f"t5 decode mismatch at position {pos}")
+
+
+def test_chunked_decode_matches_unchunked(setup):
+    """Seq2SeqEngine decode_chunk > 1 must produce identical streams
+    (counterpart of the slot engine's chunk-parity test)."""
+    from text_generation_inference_tpu.config import ServingConfig
+    from text_generation_inference_tpu.engine.engine import RequestParams
+    from text_generation_inference_tpu.engine.seq2seq import Seq2SeqEngine
+
+    _, spec, params = setup
+
+    def build(chunk):
+        cfg = ServingConfig(
+            max_sequence_length=32, max_new_tokens=16, max_batch_slots=2,
+            prefill_buckets=[8, 16], decode_chunk=chunk)
+        cfg.validate()
+        return Seq2SeqEngine(spec, params, cfg, eos_token_id=-1)
+
+    prompt = [3, 7, 11, 2]
+
+    def run(engine, n_chunks):
+        slot = engine.acquire_slot()
+        res = engine.prefill([slot], [prompt], [RequestParams()])
+        toks = [int(res.first_token.next_ids[0])]
+        for _ in range(n_chunks):
+            for step in engine.decode_steps():
+                toks.append(int(step.next_ids[slot]))
+        return toks
+
+    plain = run(build(1), 8)
+    chunked = run(build(4), 2)
+    assert plain == chunked
+
+
+def test_seq2seq_warmup_resets_state(setup):
+    from text_generation_inference_tpu.config import ServingConfig
+    from text_generation_inference_tpu.engine.engine import RequestParams
+    from text_generation_inference_tpu.engine.seq2seq import Seq2SeqEngine
+
+    _, spec, params = setup
+    cfg = ServingConfig(
+        max_sequence_length=32, max_new_tokens=16, max_batch_slots=2,
+        prefill_buckets=[8, 16], decode_chunk=2)
+    cfg.validate()
+    engine = Seq2SeqEngine(spec, params, cfg, eos_token_id=-1)
+    engine.warmup()
+    assert len(engine.free_slots) == engine.num_slots
+    # behavior after warmup identical to a fresh engine
+    fresh = Seq2SeqEngine(spec, params, cfg, eos_token_id=-1)
+    for eng in (engine, fresh):
+        slot = eng.acquire_slot()
+        res = eng.prefill([slot], [[3, 7, 11]], [RequestParams()])
+        eng._last = [int(res.first_token.next_ids[0])]
+        for step in eng.decode_steps():
+            eng._last.append(int(step.next_ids[slot]))
+    assert engine._last == fresh._last

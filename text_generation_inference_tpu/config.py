@@ -84,8 +84,10 @@ class ServingConfig:
                                               # of this size when streaming)
     fuse_matmuls: bool = True                 # fuse qkv / gate-up projections
                                               # (single-device model axis only)
-    decode_write_mode: str = "post"           # "post" | "scan" KV-write
-                                              # strategy (models/core.decode)
+    decode_write_mode: str = "ring"           # "ring" | "post" | "scan" KV
+                                              # write strategy; ring = per-
+                                              # chunk buffer + one scatter
+                                              # (fastest, models/core.py)
     prefill_buckets: list[int] = field(
         default_factory=lambda: list(_DEFAULT_PREFILL_BUCKETS))
     kv_page_size: int = 128                   # tokens per KV page (paged cache)
@@ -133,7 +135,7 @@ class ServingConfig:
             max_batch_slots=_env_int("MAX_BATCH_SLOTS", 16),
             decode_chunk=_env_int("DECODE_CHUNK", 1),
             fuse_matmuls=_env_bool("FUSE_MATMULS", True),
-            decode_write_mode=_env_str("DECODE_WRITE_MODE", "post"),
+            decode_write_mode=_env_str("DECODE_WRITE_MODE", "ring"),
             prefill_buckets=_env_int_list("PREFILL_BUCKETS", _DEFAULT_PREFILL_BUCKETS),
             kv_page_size=_env_int("KV_PAGE_SIZE", 128),
             hbm_memory_fraction=_env_float("HBM_MEMORY_FRACTION", 0.9),

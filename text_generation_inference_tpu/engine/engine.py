@@ -156,6 +156,50 @@ def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
     return cache, state, packed_seq
 
 
+def _decode_ring_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
+                       params: dict, cache: KVCache, state: EngineState):
+    """`num_steps` decode iterations with a per-chunk KV ring buffer and a
+    single cache scatter at chunk end (see core.decode_ring_step). The
+    fastest decode path: the cache slabs are read-only inside the scan, so
+    XLA neither carries nor copies them per step."""
+    s, t_max = state.history.shape
+    rows = jnp.arange(s)
+    chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)   # [S]
+    cache_dtype = cache.k.dtype
+    kbuf = jnp.zeros((spec.num_layers, s, spec.num_kv_heads, num_steps,
+                      spec.head_dim), cache_dtype)
+    vbuf = jnp.zeros_like(kbuf)
+
+    def body(carry, i):
+        kbuf, vbuf, state = carry
+        pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
+        ids = state.history[rows, pos]
+        logits, k_all, v_all = core.decode_ring_step(
+            spec, params, ids, pos, cache, kbuf, vbuf, i, chunk_start)
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, k_all[:, :, :, None, :].astype(cache_dtype), (0, 0, 0, i, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, v_all[:, :, :, None, :].astype(cache_dtype), (0, 0, 0, i, 0))
+        next_ids, details = sampling.next_tokens(
+            logits, state.params, state.gen_count, state.history,
+            state.history_len, eos_id, history_start=state.hist_start)
+        active = state.active
+        write_pos = jnp.clip(state.history_len, 0, t_max - 1)
+        new_hist = state.history.at[rows, write_pos].set(
+            jnp.where(active, next_ids, state.history[rows, write_pos]))
+        state = state._replace(
+            history=new_hist,
+            history_len=state.history_len + active.astype(jnp.int32),
+            gen_count=state.gen_count + active.astype(jnp.int32),
+        )
+        return (kbuf, vbuf, state), sampling.pack_step_outputs(next_ids, details)
+
+    (kbuf, vbuf, state), packed_seq = jax.lax.scan(
+        body, (kbuf, vbuf, state), jnp.arange(num_steps, dtype=jnp.int32))
+    cache = core.ring_flush(cache, kbuf, vbuf, chunk_start)
+    return cache, state, packed_seq
+
+
 def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
                   params: dict, cache: KVCache, state: EngineState,
                   ids: jax.Array,        # [N, B] right-padded bucket
@@ -260,14 +304,24 @@ class InferenceEngine:
         self._pending_frees: list[int] = []
 
         self.decode_chunk = max(1, config.decode_chunk)
+        write_mode = config.decode_write_mode
         if self.decode_chunk == 1:
+            # ring is a chunk scheme; single-step decode uses post writes
             self._decode_fn = jax.jit(
-                partial(_decode_step, spec, eos_token_id),
+                partial(_decode_step, spec, eos_token_id,
+                        write_mode="post" if write_mode == "ring" else write_mode),
+                donate_argnums=(1, 2),
+            )
+        elif write_mode == "ring":
+            self._decode_fn = jax.jit(
+                partial(_decode_ring_multi, spec, eos_token_id,
+                        self.decode_chunk),
                 donate_argnums=(1, 2),
             )
         else:
             self._decode_fn = jax.jit(
-                partial(_decode_multi, spec, eos_token_id, self.decode_chunk),
+                partial(_decode_multi, spec, eos_token_id, self.decode_chunk,
+                        write_mode=write_mode),
                 donate_argnums=(1, 2),
             )
         self._prefill_fns: dict[tuple[int, int, bool], Any] = {}

@@ -257,7 +257,14 @@ def choose_tokens(
         key = jax.random.fold_in(jax.random.key(seed), step_i)
         return jax.random.categorical(key, logits).astype(jnp.int32)
 
-    sampled_ids = jax.vmap(sample_row)(seeds, step, warped)
+    # the PRNG (threefry over [N, V]) is the single most expensive sampling
+    # op; an all-greedy batch skips it entirely (same StaticWarper-style
+    # device branch as the warper gating below)
+    sampled_ids = jax.lax.cond(
+        jnp.any(do_sample),
+        lambda w: jax.vmap(sample_row)(seeds, step, w),
+        lambda w: greedy_ids,
+        warped)
     return jnp.where(do_sample, sampled_ids, greedy_ids)
 
 

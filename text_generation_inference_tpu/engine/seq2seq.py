@@ -30,7 +30,8 @@ from ..config import ServingConfig
 from ..models import t5
 from ..models.t5 import T5DecodeState, T5Spec
 from . import sampling
-from .engine import EngineState, PrefillResult, RequestParams, StepResult
+from .engine import (EngineDeviceError, EngineState, PrefillResult,
+                     RequestParams, StepResult)
 
 
 def _s2s_prefill_step(spec: T5Spec, eos_id: int, dec_width: int,
@@ -113,6 +114,24 @@ def _s2s_decode_step(spec: T5Spec, eos_id: int, params: dict,
     return dstate, state, sampling.pack_step_outputs(next_ids, details)
 
 
+def _s2s_decode_multi(spec: T5Spec, eos_id: int, num_steps: int,
+                      params: dict, dstate: T5DecodeState, state: EngineState):
+    """`num_steps` decoder iterations in one compiled dispatch — the same
+    host-sync amortization as the decoder-only engine's _decode_multi
+    (tokens arrive in bursts of `decode_chunk`; host-side stopping applies
+    per token afterwards)."""
+
+    def body(carry, _):
+        dstate, state = carry
+        dstate, state, packed = _s2s_decode_step(spec, eos_id, params,
+                                                 dstate, state)
+        return (dstate, state), packed
+
+    (dstate, state), packed_seq = jax.lax.scan(
+        body, (dstate, state), None, length=num_steps)
+    return dstate, state, packed_seq
+
+
 class Seq2SeqEngine:
     """Same surface as InferenceEngine, backed by an encoder-decoder model."""
 
@@ -140,11 +159,55 @@ class Seq2SeqEngine:
         self._free_lock = threading.Lock()
         self._pending_frees: list[int] = []
 
-        self._decode_fn = jax.jit(
-            partial(_s2s_decode_step, spec, eos_token_id),
-            donate_argnums=(1, 2))
+        self.decode_chunk = max(1, config.decode_chunk)
+        if self.decode_chunk == 1:
+            self._decode_fn = jax.jit(
+                partial(_s2s_decode_step, spec, eos_token_id),
+                donate_argnums=(1, 2))
+        else:
+            self._decode_fn = jax.jit(
+                partial(_s2s_decode_multi, spec, eos_token_id,
+                        self.decode_chunk),
+                donate_argnums=(1, 2))
         self._prefill_fns: dict[Any, Any] = {}
         self.last_forward_ns = 0
+        self.last_n_emitted = None
+
+    def reset(self) -> None:
+        """Rebuild device state after an EngineDeviceError (see
+        InferenceEngine.reset)."""
+        dtype = self.dstate.self_k.dtype
+        self.dstate = T5DecodeState.create(
+            self.spec, self.num_slots, self.max_dec, self.max_enc, dtype)
+        self.state = EngineState.create(self.num_slots, self.max_dec)
+        self.free_slots = list(range(self.num_slots))
+        with self._free_lock:
+            self._pending_frees.clear()
+
+    def warmup(self, batch_sizes: tuple[int, ...] = (1,), **_) -> None:
+        """Pre-compile the prefill buckets + the decode chunk (counterpart
+        of InferenceEngine.warmup; without it the first requests pay the
+        full XLA compiles)."""
+        t0 = time.monotonic()
+        n_compiles = 0
+        for bucket in self.config.prefill_buckets:
+            if bucket > self.max_enc:
+                continue
+            for n in batch_sizes:
+                if n > self.num_slots:
+                    continue
+                slots = list(range(n))
+                ids = [[1] * min(bucket, self.max_enc - 1)] * n
+                self.prefill(slots, ids, [RequestParams()] * n)
+                n_compiles += 1
+        self.decode_steps()
+        n_compiles += 1
+        self.reset()
+        import logging
+
+        logging.getLogger(__name__).info(
+            "seq2seq warmup compiled %d programs in %.1fs",
+            n_compiles, time.monotonic() - t0)
 
     @property
     def num_active(self) -> int:
@@ -229,21 +292,37 @@ class Seq2SeqEngine:
         if has_dec:
             kwargs["dec_prefix_embeds"] = dec_emb
             kwargs["dec_prefix_len"] = jnp.asarray(dec_plens, jnp.int32)
-        self.dstate, self.state, packed = fn(
-            self.model_params, self.dstate, self.state,
-            jnp.asarray(ids), jnp.asarray(enc_lengths),
-            jnp.asarray(slots, jnp.int32), jnp.asarray(dec_lengths),
-            **kwargs)
-        packed = jax.device_get(packed)
+        try:
+            self.dstate, self.state, packed = fn(
+                self.model_params, self.dstate, self.state,
+                jnp.asarray(ids), jnp.asarray(enc_lengths),
+                jnp.asarray(slots, jnp.int32), jnp.asarray(dec_lengths),
+                **kwargs)
+            packed = jax.device_get(packed)
+        except Exception as e:
+            raise EngineDeviceError(f"seq2seq prefill failed: {e}") from e
         step = StepResult(*sampling.unpack_step_outputs(packed))
         self.last_forward_ns = time.monotonic_ns() - t0
         return PrefillResult(first_token=step, prompt_details=None)
 
     def decode(self) -> StepResult:
+        return self.decode_steps()[0]
+
+    def decode_steps(self) -> list[StepResult]:
+        """`decode_chunk` decoder steps in one dispatch + one host fetch."""
+        self.last_n_emitted = None
         self._apply_pending_frees()
         t0 = time.monotonic_ns()
-        self.dstate, self.state, packed = self._decode_fn(
-            self.model_params, self.dstate, self.state)
-        res = StepResult(*sampling.unpack_step_outputs(packed))
+        try:
+            self.dstate, self.state, packed = self._decode_fn(
+                self.model_params, self.dstate, self.state)
+            packed = jax.device_get(packed)
+        except Exception as e:
+            raise EngineDeviceError(f"seq2seq decode failed: {e}") from e
+        if self.decode_chunk == 1:
+            results = [StepResult(*sampling.unpack_step_outputs(packed))]
+        else:
+            results = [StepResult(*sampling.unpack_step_outputs(packed[i]))
+                       for i in range(self.decode_chunk)]
         self.last_forward_ns = time.monotonic_ns() - t0
-        return res
+        return results

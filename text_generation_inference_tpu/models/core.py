@@ -504,6 +504,133 @@ def prefill(
 # ---------------------------------------------------------------------------
 
 
+def decode_ring_step(
+    spec: DecoderSpec,
+    params: dict,
+    ids: jax.Array,          # [S] i32: last token per slot
+    positions: jax.Array,    # [S] i32: position ids[s] will occupy
+    cache: KVCache,          # read-only this chunk (holds pos < chunk_start)
+    kbuf: jax.Array,         # [L, S, K, C, D] in-chunk keys (cols < step_idx valid)
+    vbuf: jax.Array,         # [L, S, K, C, D]
+    step_idx: jax.Array,     # scalar i32: step within the chunk
+    chunk_start: jax.Array,  # [S] i32: positions[s] at chunk entry
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One decode step of the RING-BUFFER chunk scheme (the fastest decode
+    path, see ROADMAP): within a decode chunk the KV cache is never
+    written — attention reads the (read-only) cache for pre-chunk context,
+    a small per-chunk ring buffer for in-chunk tokens, and the current
+    token's k/v directly. The caller scatters the ring into the cache ONCE
+    per chunk, so XLA never copies the full cache slabs to preserve
+    read-before-write semantics (the per-step scatter of the "post" mode
+    costs a full dual-slab copy: ~5.4ms/step on TinyLlama/v5e vs ~0.1ms
+    amortized here).
+
+    Buffer col c of slot s holds the token at position chunk_start[s] + c;
+    cols >= step_idx are invalid. Returns (logits [S, V] f32,
+    k_all [L, S, K, D], v_all [L, S, K, D]) — the current token's per-layer
+    k/v for the caller to write into the ring.
+    """
+    s = ids.shape[0]
+    t_max = cache.max_seq
+    n_buf = kbuf.shape[3]
+    x = _embed(spec, params, ids, positions)        # [S, D]
+    if spec.pos == "rope":
+        cos, sin = _rope_freqs(spec, positions)
+    else:
+        cos = sin = None
+
+    key_pos = jnp.arange(t_max, dtype=jnp.int32)
+    cache_mask = key_pos[None, :] < chunk_start[:, None]     # [S, Tmax]
+    buf_mask = jnp.arange(n_buf, dtype=jnp.int32)[None, :] < step_idx
+    scale = 1.0 / math.sqrt(spec.head_dim)
+    group = spec.num_heads // spec.num_kv_heads
+
+    if spec.pos == "alibi":
+        slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads)).reshape(
+            spec.num_kv_heads, group)
+        cache_bias = (slopes_kg[None, :, :, None]
+                      * key_pos.astype(jnp.float32)[None, None, None, :])
+        buf_pos = (chunk_start[:, None]
+                   + jnp.arange(n_buf, dtype=jnp.int32)[None, :])  # [S, C]
+        buf_bias = (slopes_kg[None, :, :, None]
+                    * buf_pos.astype(jnp.float32)[:, None, None, :])
+        new_bias = (slopes_kg[None]
+                    * positions[:, None, None].astype(jnp.float32))
+    else:
+        cache_bias = buf_bias = new_bias = None
+
+    def layer(x, inputs):
+        lp, ck, cv, kb, vb = inputs        # kb/vb READ-ONLY [S, K, C, D]
+        h = _norm(spec, lp["ln1"], x)
+        q, k, v = _qkv(spec, lp, h)
+        if cos is not None:
+            q = _apply_rope(spec, q, cos, sin)
+            k = _apply_rope(spec, k, cos, sin)
+        qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
+        scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
+                            preferred_element_type=jnp.float32) * scale
+        if cache_bias is not None:
+            scores = scores + cache_bias
+        scores = jnp.where(cache_mask[:, None, None, :], scores, -jnp.inf)
+        bscores = jnp.einsum("skgd,skcd->skgc", qg, kb,
+                             preferred_element_type=jnp.float32) * scale
+        if buf_bias is not None:
+            bscores = bscores + buf_bias
+        bscores = jnp.where(buf_mask[:, None, None, :], bscores, -jnp.inf)
+        score_new = jnp.sum(
+            qg.astype(jnp.float32) * k[:, :, None, :].astype(jnp.float32),
+            axis=-1) * scale                                # [S, K, G]
+        if new_bias is not None:
+            score_new = score_new + new_bias
+        all_scores = jnp.concatenate(
+            [scores, bscores, score_new[..., None]], axis=-1)
+        probs = jax.nn.softmax(all_scores, axis=-1).astype(cv.dtype)
+        attn = jnp.einsum("skgt,sktd->skgd", probs[..., :t_max], cv) \
+            + jnp.einsum("skgc,skcd->skgd",
+                         probs[..., t_max:t_max + n_buf], vb) \
+            + probs[..., t_max + n_buf:] * v[:, :, None, :]
+        attn = attn.reshape(s, spec.num_heads, spec.head_dim)
+        attn = _attn_out(spec, lp, attn)
+
+        if spec.parallel_residual:
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + attn + _mlp(spec, lp, h2)
+        else:
+            x = x + attn
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + _mlp(spec, lp, h2)
+        return x, (k, v)
+
+    x, (k_all, v_all) = jax.lax.scan(
+        layer, x, (params["layers"], cache.k, cache.v, kbuf, vbuf))
+    x = _norm(spec, params["final_norm"], x)
+    logits = _unembed(spec, params, x)
+    return logits, k_all, v_all
+
+
+def ring_flush(cache: KVCache, kbuf: jax.Array, vbuf: jax.Array,
+               chunk_start: jax.Array) -> KVCache:
+    """Scatter a chunk's ring buffers into the cache: buffer col c of slot
+    s lands at position chunk_start[s] + c. Out-of-range positions are
+    dropped (requests never legitimately reach them — validation caps
+    input + max_new within max_seq). ONE scatter per chunk; with donation
+    it runs in place."""
+    n_buf = kbuf.shape[3]
+    s = kbuf.shape[1]
+    t_max = cache.max_seq
+    rows = jnp.arange(s)
+    wpos = chunk_start[None, :] + jnp.arange(n_buf, dtype=jnp.int32)[:, None]
+    wpos = jnp.where(wpos < t_max, wpos, t_max)                  # drop OOB
+    idx_rows = jnp.broadcast_to(rows[None, :], (n_buf, s))
+    # advanced indices (C, S) at axes 1 and 3 move to the front: the
+    # updated region is [C, S, L, K, D]
+    new_k = cache.k.at[:, idx_rows, :, wpos, :].set(
+        kbuf.transpose(3, 1, 0, 2, 4).astype(cache.k.dtype), mode="drop")
+    new_v = cache.v.at[:, idx_rows, :, wpos, :].set(
+        vbuf.transpose(3, 1, 0, 2, 4).astype(cache.v.dtype), mode="drop")
+    return KVCache(k=new_k, v=new_v)
+
+
 def decode(
     spec: DecoderSpec,
     params: dict,
