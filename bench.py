@@ -169,13 +169,23 @@ def main():
     # NOTE: decode_steps() ends with a host fetch of the packed outputs, so
     # each timed call is fully synchronized — no block_until_ready (which is
     # pathologically slow through remote-TPU tunnels).
+    # details are computed only when a request asks for token info (the
+    # proto default requests none), so the headline decode path is the
+    # no-details program — same behavior as the reference, which only
+    # computes logprobs/top-n on request
+    def step_chunk():
+        try:
+            engine.decode_steps(want_details=False)
+        except TypeError:
+            engine.decode_steps()
+
     for _ in range(max(warmup // decode_chunk, 1)):
-        engine.decode_steps()
+        step_chunk()
 
     calls = max(steps // decode_chunk, 1)
     t0 = time.perf_counter()
     for _ in range(calls):
-        engine.decode_steps()
+        step_chunk()
     elapsed = time.perf_counter() - t0
     steps = calls * decode_chunk
 

@@ -156,3 +156,136 @@ class TestPagedVsContiguous:
         paged = PagedInferenceEngine(spec, params, make_config(),
                                      eos_token_id=2, num_pages=3)
         assert run_engine(paged, PROMPTS[1], 14) == expect
+
+
+class TestPagedRing:
+    """Ring-buffer paged decode (decode_write_mode=ring, the chunked
+    default): pool is read-only within a chunk, one block-table scatter
+    per chunk (paged_core.decode_paged_ring_step / paged_ring_flush)."""
+
+    def test_ring_matches_slot_engine_staggered(self, llama):
+        spec, params = llama
+        plain = InferenceEngine(spec, params, make_config(decode_chunk=4),
+                                eos_token_id=2)
+        paged = PagedInferenceEngine(spec, params,
+                                     make_config(decode_chunk=4),
+                                     eos_token_id=2, num_pages=64)
+
+        def staggered(engine):
+            out = {}
+            sa, sb = engine.acquire_slot(), engine.acquire_slot()
+            res = engine.prefill(
+                [sa, sb], [PROMPTS[0], PROMPTS[1]],
+                [RequestParams(max_new_tokens=20)] * 2)
+            out["a"] = [int(res.first_token.next_ids[0])]
+            out["b"] = [int(res.first_token.next_ids[1])]
+            for step in engine.decode_steps():
+                out["a"].append(int(step.next_ids[sa]))
+                out["b"].append(int(step.next_ids[sb]))
+            engine.free(sb)
+            sc = engine.acquire_slot()
+            res = engine.prefill([sc], [PROMPTS[2]],
+                                 [RequestParams(max_new_tokens=20)])
+            out["c"] = [int(res.first_token.next_ids[0])]
+            for _ in range(2):
+                for step in engine.decode_steps():
+                    out["a"].append(int(step.next_ids[sa]))
+                    out["c"].append(int(step.next_ids[sc]))
+            return out
+
+        assert staggered(paged) == staggered(plain)
+
+    def test_ring_inactive_slots_do_not_corrupt_live_pages(self, llama):
+        """The chunk-end ring flush must drop inactive slots' writes —
+        their block tables are stale (same hazard as the per-step path's
+        inactive-write guard, but at flush granularity)."""
+        spec, params = llama
+        plain = InferenceEngine(spec, params, make_config(decode_chunk=4),
+                                eos_token_id=2)
+        expect = run_engine(plain, PROMPTS[1], 14)
+        paged = PagedInferenceEngine(spec, params,
+                                     make_config(decode_chunk=4),
+                                     eos_token_id=2, num_pages=3)
+        assert run_engine(paged, PROMPTS[1], 14) == expect
+
+    def test_ring_page_churn(self, llama):
+        spec, params = llama
+        paged = PagedInferenceEngine(spec, params,
+                                     make_config(decode_chunk=4),
+                                     eos_token_id=2, num_pages=16)
+        baseline = run_engine(paged, PROMPTS[0], 8)
+        run_engine(paged, PROMPTS[1], 8)
+        run_engine(paged, PROMPTS[2], 8)
+        assert run_engine(paged, PROMPTS[0], 8) == baseline
+
+    def test_no_details_variant_same_ids(self, llama):
+        spec, params = llama
+        paged = PagedInferenceEngine(spec, params,
+                                     make_config(decode_chunk=4),
+                                     eos_token_id=2, num_pages=64)
+        slot = paged.acquire_slot()
+        res = paged.prefill([slot], [PROMPTS[0]],
+                            [RequestParams(max_new_tokens=12)])
+        with_details = [int(res.first_token.next_ids[0])]
+        for step in paged.decode_steps(want_details=True):
+            with_details.append(int(step.next_ids[slot]))
+        paged.free(slot)
+
+        slot = paged.acquire_slot()
+        res = paged.prefill([slot], [PROMPTS[0]],
+                            [RequestParams(max_new_tokens=12)])
+        without = [int(res.first_token.next_ids[0])]
+        for step in paged.decode_steps(want_details=False):
+            without.append(int(step.next_ids[slot]))
+            assert np.isnan(step.logprob[slot])
+        paged.free(slot)
+        assert with_details == without
+
+
+class TestPagedParityFeatures:
+    def test_prompt_details_match_slot_engine(self, llama):
+        spec, params = llama
+        plain = InferenceEngine(spec, params, make_config(), eos_token_id=2)
+        paged = PagedInferenceEngine(spec, params, make_config(),
+                                     eos_token_id=2, num_pages=64)
+        outs = {}
+        for name, engine in (("plain", plain), ("paged", paged)):
+            slot = engine.acquire_slot()
+            res = engine.prefill([slot], [PROMPTS[1]],
+                                 [RequestParams(max_new_tokens=4)],
+                                 want_prompt_details=True)
+            outs[name] = res.prompt_details[0]
+            engine.free(slot)
+        assert outs["paged"] is not None
+        np.testing.assert_allclose(outs["paged"]["logprob"][1:],
+                                   outs["plain"]["logprob"][1:],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(outs["paged"]["rank"],
+                                      outs["plain"]["rank"])
+        assert np.isnan(outs["paged"]["logprob"][0])
+
+    def test_warmup_then_clean_generation(self, llama):
+        spec, params = llama
+        paged = PagedInferenceEngine(spec, params,
+                                     make_config(decode_chunk=2),
+                                     eos_token_id=2, num_pages=64)
+        paged.warmup()
+        assert len(paged.free_slots) == paged.num_slots
+        assert paged.allocator.num_free == 64
+        fresh = PagedInferenceEngine(spec, params,
+                                     make_config(decode_chunk=2),
+                                     eos_token_id=2, num_pages=64)
+        assert run_engine(paged, PROMPTS[0], 8) == \
+            run_engine(fresh, PROMPTS[0], 8)
+
+    def test_reset_recovers(self, llama):
+        spec, params = llama
+        paged = PagedInferenceEngine(spec, params, make_config(),
+                                     eos_token_id=2, num_pages=16)
+        baseline = run_engine(paged, PROMPTS[0], 8)
+        s = paged.acquire_slot()
+        paged.prefill([s], [PROMPTS[1]], [RequestParams(max_new_tokens=4)])
+        paged.reset()
+        assert len(paged.free_slots) == paged.num_slots
+        assert paged.allocator.num_free == 16
+        assert run_engine(paged, PROMPTS[0], 8) == baseline

@@ -143,3 +143,39 @@ class TestPagedAttention:
         b = pa.paged_decode_attention(q, kp, vp, shuffled, ctx, ps,
                                       interpret=True)
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestPagedAttentionPartial(TestPagedAttention):
+    """Stats-returning variant (flash-decoding merge support)."""
+
+    def test_partial_matches_reference_partial(self):
+        q, kp, vp, bt, ctx, ps = self.make()
+        acc_r, m_r, l_r = pa.paged_decode_attention_partial_reference(
+            q, kp, vp, bt, ctx, ps)
+        acc_k, m_k, l_k = pa.paged_decode_attention_partial(
+            q, kp, vp, bt, ctx, ps, interpret=True)
+        np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_r),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_r),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(acc_k), np.asarray(acc_r),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_partial_normalizes_to_full(self):
+        q, kp, vp, bt, ctx, ps = self.make(seed=3)
+        acc, m, l = pa.paged_decode_attention_partial(
+            q, kp, vp, bt, ctx, ps, interpret=True)
+        full = pa.paged_decode_attention_reference(q, kp, vp, bt, ctx, ps)
+        got = np.asarray(acc) / np.maximum(np.asarray(l)[..., None], 1e-30)
+        np.testing.assert_allclose(got, np.asarray(full),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_zero_context_slot(self):
+        # ctx == 0 (chunk_start of a fresh chunk at position 0): the merge
+        # must be able to ignore the pool part entirely
+        q, kp, vp, bt, _, ps = self.make(seed=4)
+        ctx = jnp.asarray([0, ps, 5], jnp.int32)
+        acc, m, l = pa.paged_decode_attention_partial(
+            q, kp, vp, bt, ctx, ps, interpret=True)
+        assert np.asarray(l)[0].max() == 0.0
+        assert np.all(np.isneginf(np.asarray(m)[0]))

@@ -113,7 +113,7 @@ class PrefillResult(NamedTuple):
 
 def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
                  cache: KVCache, state: EngineState,
-                 write_mode: str = "post"):
+                 write_mode: str = "post", want_details: bool = True):
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
@@ -123,7 +123,8 @@ def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
         write_mode=write_mode)
     next_ids, details = sampling.next_tokens(
         logits, state.params, state.gen_count, state.history,
-        state.history_len, eos_id, history_start=state.hist_start)
+        state.history_len, eos_id, history_start=state.hist_start,
+        want_details=want_details)
     active = state.active
     write_pos = jnp.clip(state.history_len, 0, t_max - 1)
     new_hist = state.history.at[rows, write_pos].set(
@@ -138,7 +139,7 @@ def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
 
 def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
                   params: dict, cache: KVCache, state: EngineState,
-                  write_mode: str = "post"):
+                  write_mode: str = "post", want_details: bool = True):
     """`num_steps` decode iterations in one compiled dispatch; packed
     outputs stacked [num_steps, S, 3+3*CAP]. Amortizes the per-dispatch and
     per-fetch host/tunnel overhead — with the host-side stopping logic
@@ -148,7 +149,8 @@ def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
     def body(carry, _):
         cache, state = carry
         cache, state, packed = _decode_step(spec, eos_id, params, cache, state,
-                                            write_mode=write_mode)
+                                            write_mode=write_mode,
+                                            want_details=want_details)
         return (cache, state), packed
 
     (cache, state), packed_seq = jax.lax.scan(
@@ -157,7 +159,8 @@ def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
 
 
 def _decode_ring_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
-                       params: dict, cache: KVCache, state: EngineState):
+                       params: dict, cache: KVCache, state: EngineState,
+                       want_details: bool = True):
     """`num_steps` decode iterations with a per-chunk KV ring buffer and a
     single cache scatter at chunk end (see core.decode_ring_step). The
     fastest decode path: the cache slabs are read-only inside the scan, so
@@ -182,7 +185,8 @@ def _decode_ring_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
             vbuf, v_all[:, :, :, None, :].astype(cache_dtype), (0, 0, 0, i, 0))
         next_ids, details = sampling.next_tokens(
             logits, state.params, state.gen_count, state.history,
-            state.history_len, eos_id, history_start=state.hist_start)
+            state.history_len, eos_id, history_start=state.hist_start,
+            want_details=want_details)
         active = state.active
         write_pos = jnp.clip(state.history_len, 0, t_max - 1)
         new_hist = state.history.at[rows, write_pos].set(
@@ -304,26 +308,11 @@ class InferenceEngine:
         self._pending_frees: list[int] = []
 
         self.decode_chunk = max(1, config.decode_chunk)
-        write_mode = config.decode_write_mode
-        if self.decode_chunk == 1:
-            # ring is a chunk scheme; single-step decode uses post writes
-            self._decode_fn = jax.jit(
-                partial(_decode_step, spec, eos_token_id,
-                        write_mode="post" if write_mode == "ring" else write_mode),
-                donate_argnums=(1, 2),
-            )
-        elif write_mode == "ring":
-            self._decode_fn = jax.jit(
-                partial(_decode_ring_multi, spec, eos_token_id,
-                        self.decode_chunk),
-                donate_argnums=(1, 2),
-            )
-        else:
-            self._decode_fn = jax.jit(
-                partial(_decode_multi, spec, eos_token_id, self.decode_chunk,
-                        write_mode=write_mode),
-                donate_argnums=(1, 2),
-            )
+        self._write_mode = config.decode_write_mode
+        # decode programs are compiled per want_details variant: the
+        # no-details path skips log_softmax/top-k/rank entirely (the
+        # reference likewise computes logprobs/top-n only when requested)
+        self._decode_fns: dict[bool, Any] = {}
         self._prefill_fns: dict[tuple[int, int, bool], Any] = {}
         self.last_forward_ns: int = 0
 
@@ -497,8 +486,9 @@ class InferenceEngine:
                     self.prefill(slots, ids, [RequestParams()] * n,
                                  want_prompt_details=variant)
                     n_compiles += 1
-        self.decode_steps()
-        n_compiles += 1
+        for want_details in (False, True):
+            self.decode_steps(want_details=want_details)
+            n_compiles += 1
         # reset slot state polluted by the dummy prefills
         self.state = EngineState.create(self.num_slots, self.max_seq)
         self.free_slots = list(range(self.num_slots))
@@ -509,13 +499,39 @@ class InferenceEngine:
         """One decode step across all slots (inactive slots masked)."""
         return self.decode_steps()[0]
 
-    def decode_steps(self) -> list[StepResult]:
+    def _get_decode_fn(self, want_details: bool):
+        fn = self._decode_fns.get(want_details)
+        if fn is None:
+            write_mode = self._write_mode
+            if self.decode_chunk == 1:
+                # ring is a chunk scheme; single-step decode uses post writes
+                fn = jax.jit(
+                    partial(_decode_step, self.spec, self.eos_token_id,
+                            write_mode=("post" if write_mode == "ring"
+                                        else write_mode),
+                            want_details=want_details),
+                    donate_argnums=(1, 2))
+            elif write_mode == "ring":
+                fn = jax.jit(
+                    partial(_decode_ring_multi, self.spec, self.eos_token_id,
+                            self.decode_chunk, want_details=want_details),
+                    donate_argnums=(1, 2))
+            else:
+                fn = jax.jit(
+                    partial(_decode_multi, self.spec, self.eos_token_id,
+                            self.decode_chunk, write_mode=write_mode,
+                            want_details=want_details),
+                    donate_argnums=(1, 2))
+            self._decode_fns[want_details] = fn
+        return fn
+
+    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         """`decode_chunk` decode steps in one dispatch + one host fetch."""
         self.last_n_emitted = None   # every step row is valid for every slot
         self._apply_pending_frees()
         t0 = time.monotonic_ns()
         try:
-            self.cache, self.state, packed = self._decode_fn(
+            self.cache, self.state, packed = self._get_decode_fn(want_details)(
                 self.model_params, self.cache, self.state)
             packed = jax.device_get(packed)
         except Exception as e:

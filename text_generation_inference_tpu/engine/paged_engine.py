@@ -30,7 +30,8 @@ from ..config import ServingConfig
 from ..models import core, paged_core
 from ..models.core import DecoderSpec
 from . import sampling
-from .engine import EngineState, PrefillResult, RequestParams, StepResult
+from .engine import (EngineDeviceError, EngineState, PrefillResult,
+                     RequestParams, StepResult)
 from .memory import device_hbm_bytes, tree_bytes
 from .paged_cache import PageAllocator, PagedKVCache
 
@@ -38,17 +39,19 @@ logger = logging.getLogger(__name__)
 
 
 def _paged_decode_step(spec: DecoderSpec, eos_id: int, page_size: int,
-                       params: dict, cache: PagedKVCache, state: EngineState):
+                       params: dict, cache: PagedKVCache, state: EngineState,
+                       want_details: bool = True, mesh=None):
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
     ids = state.history[rows, pos]
     logits, cache = paged_core.decode_paged(
         spec, params, ids, pos, cache, pos + 1, page_size,
-        active=state.active)
+        active=state.active, mesh=mesh)
     next_ids, details = sampling.next_tokens(
         logits, state.params, state.gen_count, state.history,
-        state.history_len, eos_id, history_start=state.hist_start)
+        state.history_len, eos_id, history_start=state.hist_start,
+        want_details=want_details)
     active = state.active
     write_pos = jnp.clip(state.history_len, 0, t_max - 1)
     new_hist = state.history.at[rows, write_pos].set(
@@ -62,11 +65,12 @@ def _paged_decode_step(spec: DecoderSpec, eos_id: int, page_size: int,
 
 
 def _paged_decode_multi(spec, eos_id, page_size, num_steps,
-                        params, cache, state):
+                        params, cache, state, want_details=True, mesh=None):
     def body(carry, _):
         cache, state = carry
         cache, state, packed = _paged_decode_step(
-            spec, eos_id, page_size, params, cache, state)
+            spec, eos_id, page_size, params, cache, state,
+            want_details=want_details, mesh=mesh)
         return (cache, state), packed
 
     (cache, state), packed_seq = jax.lax.scan(
@@ -74,7 +78,59 @@ def _paged_decode_multi(spec, eos_id, page_size, num_steps,
     return cache, state, packed_seq
 
 
+def _paged_ring_multi(spec: DecoderSpec, eos_id: int, page_size: int,
+                      num_steps: int, params: dict,
+                      cache: PagedKVCache, state: EngineState,
+                      want_details: bool = True, mesh=None):
+    """Ring-buffer chunk decode over the paged pool: the pool is read-only
+    inside the scan (Pallas kernel + flash-decoding merge with the ring,
+    see paged_core.decode_paged_ring_step); ONE block-table scatter per
+    chunk replaces the per-step full-pool copy."""
+    s, t_max = state.history.shape
+    rows = jnp.arange(s)
+    chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)
+    active0 = state.active     # constant within a chunk (frees apply between)
+    pool_dtype = cache.k.dtype
+    kbuf = jnp.zeros((spec.num_layers, s, spec.num_kv_heads, num_steps,
+                      spec.head_dim), pool_dtype)
+    vbuf = jnp.zeros_like(kbuf)
+
+    def body(carry, i):
+        kbuf, vbuf, state = carry
+        pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
+        ids = state.history[rows, pos]
+        logits, k_all, v_all = paged_core.decode_paged_ring_step(
+            spec, params, ids, pos, cache, kbuf, vbuf, i, chunk_start,
+            page_size=page_size, mesh=mesh)
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, k_all[:, :, :, None, :].astype(pool_dtype), (0, 0, 0, i, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, v_all[:, :, :, None, :].astype(pool_dtype), (0, 0, 0, i, 0))
+        next_ids, details = sampling.next_tokens(
+            logits, state.params, state.gen_count, state.history,
+            state.history_len, eos_id, history_start=state.hist_start,
+            want_details=want_details)
+        active = state.active
+        write_pos = jnp.clip(state.history_len, 0, t_max - 1)
+        new_hist = state.history.at[rows, write_pos].set(
+            jnp.where(active, next_ids, state.history[rows, write_pos]))
+        state = state._replace(
+            history=new_hist,
+            history_len=state.history_len + active.astype(jnp.int32),
+            gen_count=state.gen_count + active.astype(jnp.int32),
+        )
+        return (kbuf, vbuf, state), sampling.pack_step_outputs(next_ids,
+                                                               details)
+
+    (kbuf, vbuf, state), packed_seq = jax.lax.scan(
+        body, (kbuf, vbuf, state), jnp.arange(num_steps, dtype=jnp.int32))
+    cache = paged_core.paged_ring_flush(
+        cache, kbuf, vbuf, chunk_start, active0, t_max, page_size)
+    return cache, state, packed_seq
+
+
 def _paged_prefill_step(spec: DecoderSpec, eos_id: int, page_size: int,
+                        want_prompt_details: bool,
                         params: dict, cache: PagedKVCache, state: EngineState,
                         ids: jax.Array, lengths: jax.Array, slots: jax.Array,
                         prefix_len: jax.Array,
@@ -105,15 +161,25 @@ def _paged_prefill_step(spec: DecoderSpec, eos_id: int, page_size: int,
         gen_count=state.gen_count.at[slots].set(1),
         active=state.active.at[slots].set(True),
     )
-    return cache, state, sampling.pack_step_outputs(next_ids, details)
+    if want_prompt_details:
+        pdet = jax.vmap(
+            lambda lg, pid: sampling.prompt_token_details(lg[: b - 1], pid)
+        )(logits_all, ids)
+    else:
+        pdet = None
+    return cache, state, sampling.pack_step_outputs(next_ids, details), pdet
 
 
 class PagedInferenceEngine:
     """Slot batch + paged KV pool; admission is page accounting."""
 
     def __init__(self, spec: DecoderSpec, params: dict, config: ServingConfig,
-                 eos_token_id: int, num_pages: Optional[int] = None):
+                 eos_token_id: int, num_pages: Optional[int] = None,
+                 mesh=None):
         self.spec = spec
+        self.mesh = mesh
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            config.fuse_matmuls = False
         if config.fuse_matmuls:
             from ..models.fuse import fuse_params
 
@@ -135,6 +201,13 @@ class PagedInferenceEngine:
             spec, num_pages, self.page_size, self.num_slots,
             max_pages_per_slot, dtype)
         self.state = EngineState.create(self.num_slots, self.max_seq)
+        if mesh is not None:
+            from ..parallel import sharding as shd
+
+            specs = shd.param_specs(spec, self.model_params, mesh)
+            self.model_params = shd.shard_params(self.model_params, specs, mesh)
+            self.cache = shd.shard_paged_cache(self.cache, spec, mesh)
+            self.state = shd.replicate(self.state, mesh)
         self.free_slots: list[int] = list(range(self.num_slots))
         # free() runs on the event-loop thread while decode dispatch runs on
         # the executor thread (pipelined decode) — guard the pending list
@@ -148,18 +221,88 @@ class PagedInferenceEngine:
                     2 * tree_bytes({"k": self.cache.k}) / 1024 ** 3)
 
         self.decode_chunk = max(1, config.decode_chunk)
-        if self.decode_chunk == 1:
-            self._decode_fn = jax.jit(
-                partial(_paged_decode_step, spec, eos_token_id, self.page_size),
-                donate_argnums=(1, 2))
-        else:
-            self._decode_fn = jax.jit(
-                partial(_paged_decode_multi, spec, eos_token_id,
-                        self.page_size, self.decode_chunk),
-                donate_argnums=(1, 2))
+        self._write_mode = config.decode_write_mode
+        self._decode_fns: dict[bool, Any] = {}
         self._prefill_fns: dict[Any, Any] = {}
         self.last_forward_ns = 0
         self.last_n_emitted = None
+
+    def _get_decode_fn(self, want_details: bool):
+        fn = self._decode_fns.get(want_details)
+        if fn is None:
+            if self.decode_chunk == 1:
+                fn = jax.jit(
+                    partial(_paged_decode_step, self.spec, self.eos_token_id,
+                            self.page_size, want_details=want_details,
+                            mesh=self.mesh),
+                    donate_argnums=(1, 2))
+            elif self._write_mode == "ring":
+                fn = jax.jit(
+                    partial(_paged_ring_multi, self.spec, self.eos_token_id,
+                            self.page_size, self.decode_chunk,
+                            want_details=want_details, mesh=self.mesh),
+                    donate_argnums=(1, 2))
+            else:
+                fn = jax.jit(
+                    partial(_paged_decode_multi, self.spec, self.eos_token_id,
+                            self.page_size, self.decode_chunk,
+                            want_details=want_details, mesh=self.mesh),
+                    donate_argnums=(1, 2))
+            self._decode_fns[want_details] = fn
+        return fn
+
+    def reset(self) -> None:
+        """Rebuild pool/state after an EngineDeviceError (see
+        InferenceEngine.reset): donated buffers are undefined; all pages
+        and slots become free."""
+        dtype = self.cache.k.dtype
+        self.cache = PagedKVCache.create(
+            self.spec, self.allocator.num_pages, self.page_size,
+            self.num_slots, self.allocator.max_pages_per_slot, dtype)
+        self.allocator = PageAllocator(self.allocator.num_pages,
+                                       self.page_size,
+                                       self.allocator.max_pages_per_slot)
+        self.state = EngineState.create(self.num_slots, self.max_seq)
+        if self.mesh is not None:
+            from ..parallel import sharding as shd
+
+            self.cache = shd.shard_paged_cache(self.cache, self.spec,
+                                               self.mesh)
+            self.state = shd.replicate(self.state, self.mesh)
+        self.free_slots = list(range(self.num_slots))
+        with self._free_lock:
+            self._pending_frees.clear()
+        self._bt_host[:] = 0
+        logger.warning("paged engine device state reset (all slots cleared)")
+
+    def warmup(self, batch_sizes: tuple[int, ...] = (1,),
+               include_details: bool = False) -> None:
+        """Pre-compile prefill buckets + both decode variants (counterpart
+        of InferenceEngine.warmup — without it the first requests pay the
+        multi-minute XLA compiles)."""
+        t0 = time.monotonic()
+        n_compiles = 0
+        for bucket in self.config.prefill_buckets:
+            if bucket > self.max_seq:
+                continue
+            for n in batch_sizes:
+                if n > self.num_slots:
+                    continue
+                slots = list(range(n))
+                prompt_len = min(bucket, self.max_seq - 2)
+                ids = [[1] * prompt_len] * n
+                rps = [RequestParams(max_new_tokens=1)] * n
+                for variant in ((False, True) if include_details else (False,)):
+                    self.prefill(slots, ids, rps, want_prompt_details=variant)
+                    n_compiles += 1
+                for slot in slots:
+                    self.free(slot)
+        for want_details in (False, True):
+            self.decode_steps(want_details=want_details)
+            n_compiles += 1
+        self.reset()
+        logger.info("paged warmup compiled %d programs in %.1fs",
+                    n_compiles, time.monotonic() - t0)
 
     def _pool_size_from_hbm(self, dtype) -> int:
         hbm = device_hbm_bytes()
@@ -251,11 +394,12 @@ class PagedInferenceEngine:
                     embeds[i, : pe.shape[0]] = pe
             embeds_arg = jnp.asarray(embeds)
 
-        key = (n, bucket, has_prefix)
+        key = (n, bucket, want_prompt_details, has_prefix)
         fn = self._prefill_fns.get(key)
         if fn is None:
             fn = jax.jit(partial(_paged_prefill_step, self.spec,
-                                 self.eos_token_id, self.page_size),
+                                 self.eos_token_id, self.page_size,
+                                 want_prompt_details),
                          donate_argnums=(1, 2))
             self._prefill_fns[key] = fn
         t0 = time.monotonic_ns()
@@ -265,22 +409,47 @@ class PagedInferenceEngine:
                 jnp.asarray(prefix_lens, jnp.int32)]
         if has_prefix:
             args.append(embeds_arg)
-        self.cache, self.state, packed = fn(*args)
-        packed = jax.device_get(packed)
+        try:
+            self.cache, self.state, packed, pdet = fn(*args)
+            packed = jax.device_get(packed)
+        except Exception as e:
+            raise EngineDeviceError(f"paged prefill failed: {e}") from e
         step = StepResult(*sampling.unpack_step_outputs(packed))
         self.last_forward_ns = time.monotonic_ns() - t0
-        return PrefillResult(first_token=step, prompt_details=None)
+
+        prompt_details = None
+        if want_prompt_details:
+            prompt_details = []
+            for i in range(n):
+                s0, e0 = prefix_lens[i], total_lens[i]
+                lp = np.asarray(pdet.logprob)[i, s0:e0].copy()
+                rk = np.asarray(pdet.rank)[i, s0:e0].copy()
+                # the first prompt token never reports a prediction
+                # (reference: tokens.py:441-449)
+                lp[0] = np.nan
+                rk[0] = 0
+                prompt_details.append({
+                    "logprob": lp,
+                    "rank": rk,
+                    "top_ids": np.asarray(pdet.top_ids)[i, s0:e0],
+                    "top_logprobs": np.asarray(pdet.top_logprobs)[i, s0:e0],
+                    "top_scores": np.asarray(pdet.top_scores)[i, s0:e0],
+                })
+        return PrefillResult(first_token=step, prompt_details=prompt_details)
 
     def decode(self) -> StepResult:
         return self.decode_steps()[0]
 
-    def decode_steps(self) -> list[StepResult]:
+    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         self.last_n_emitted = None
         self._apply_pending_frees()
         t0 = time.monotonic_ns()
-        self.cache, self.state, packed = self._decode_fn(
-            self.model_params, self.cache, self.state)
-        packed = jax.device_get(packed)
+        try:
+            self.cache, self.state, packed = self._get_decode_fn(want_details)(
+                self.model_params, self.cache, self.state)
+            packed = jax.device_get(packed)
+        except Exception as e:
+            raise EngineDeviceError(f"paged decode failed: {e}") from e
         if self.decode_chunk == 1:
             results = [StepResult(*sampling.unpack_step_outputs(packed))]
         else:

@@ -316,7 +316,8 @@ def next_tokens(
     history_len: jax.Array,     # [N] i32
     eos_token_id: int,
     history_start: Optional[jax.Array] = None,
-) -> tuple[jax.Array, TokenDetails]:
+    want_details: bool = True,
+) -> tuple[jax.Array, Optional[TokenDetails]]:
     """Full next-token pipeline. Returns (next_ids [N], details).
 
     The repetition-penalty scatter and the warper sorts run under lax.cond so
@@ -345,14 +346,21 @@ def next_tokens(
         lambda s: s,
         scores)
     next_ids = choose_tokens(warped, do_sample, params.seed, gen_count)
-    details = token_details(warped, next_ids)
+    details = token_details(warped, next_ids) if want_details else None
     return next_ids, details
 
 
-def pack_step_outputs(next_ids: jax.Array, details: TokenDetails) -> jax.Array:
+def pack_step_outputs(next_ids: jax.Array,
+                      details: Optional[TokenDetails]) -> jax.Array:
     """Pack (ids, details) into ONE [N, 3 + 3*TOP_N_CAP] f32 array so the
     host fetches a single buffer per step (important when the accelerator
-    sits behind an RPC tunnel — per-transfer latency dominates)."""
+    sits behind an RPC tunnel — per-transfer latency dominates).
+
+    `details=None` (the no-details decode variant — no active request asked
+    for token info, the common serving case; the reference likewise only
+    computes logprobs/top-n when requested) packs just the ids: [N, 1]."""
+    if details is None:
+        return next_ids[:, None].astype(jnp.float32)
     return jnp.concatenate([
         next_ids[:, None].astype(jnp.float32),
         details.logprob[:, None],
@@ -365,11 +373,22 @@ def pack_step_outputs(next_ids: jax.Array, details: TokenDetails) -> jax.Array:
 
 def unpack_step_outputs(packed) -> tuple:
     """numpy inverse of pack_step_outputs → (next_ids, logprob, rank,
-    top_ids, top_logprobs, top_scores)."""
+    top_ids, top_logprobs, top_scores). Ids-only payloads (see
+    pack_step_outputs) yield NaN/0/empty detail fields."""
     import numpy as np
 
     packed = np.asarray(packed)
     cap = TOP_N_CAP
+    n = packed.shape[0]
+    if packed.shape[1] == 1:
+        return (
+            packed[:, 0].astype(np.int32),
+            np.full((n,), np.nan, np.float32),
+            np.zeros((n,), np.int32),
+            np.zeros((n, cap), np.int32),
+            np.full((n, cap), NEG_INF, np.float32),
+            np.full((n, cap), NEG_INF, np.float32),
+        )
     return (
         packed[:, 0].astype(np.int32),
         packed[:, 1],

@@ -308,8 +308,11 @@ class Seq2SeqEngine:
     def decode(self) -> StepResult:
         return self.decode_steps()[0]
 
-    def decode_steps(self) -> list[StepResult]:
-        """`decode_chunk` decoder steps in one dispatch + one host fetch."""
+    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
+        """`decode_chunk` decoder steps in one dispatch + one host fetch.
+        (want_details is accepted for interface parity; the seq2seq decode
+        program currently always computes details.)"""
+        del want_details
         self.last_n_emitted = None
         self._apply_pending_frees()
         t0 = time.monotonic_ns()

@@ -201,7 +201,8 @@ class SpeculativeEngine(InferenceEngine):
         self.last_forward_ns = time.monotonic_ns() - t0
         return PrefillResult(first_token=step, prompt_details=None)
 
-    def decode_steps(self) -> list[StepResult]:
+    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
+        del want_details  # always computed on this engine (for now)
         """One speculative step → 1..K+1 emitted tokens per slot, exposed as
         a list of per-position StepResults with a validity mask applied via
         `emitted_mask` (rows beyond a slot's n_emit carry garbage; the

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from ..engine.paged_cache import PagedKVCache
 from ..ops.pallas.paged_attention import (
     paged_decode_attention,
+    paged_decode_attention_partial,
+    paged_decode_attention_partial_reference,
     paged_decode_attention_reference,
 )
 from .core import (
@@ -36,6 +38,34 @@ from .core import (
     _rope_freqs,
     _unembed,
 )
+
+
+def _partial_attention(qg, kp, vp, bt, ctx, page_size, spec, mesh,
+                       slopes_kg=None, use_kernel=True):
+    """Pool attention with partial-softmax stats, dispatching to the Pallas
+    kernel (optionally shard_mapped over the kv-head/model axis when the
+    pool is tensor-parallel — attention is per-head, so no collectives are
+    needed inside) or the GSPMD-partitionable gather reference."""
+    if not use_kernel:
+        return paged_decode_attention_partial_reference(
+            qg, kp, vp, bt, ctx, page_size, alibi_slopes_kg=slopes_kg)
+    if mesh is not None and mesh.shape.get("model", 1) > 1             and spec.num_kv_heads % mesh.shape["model"] == 0:
+        import functools
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        fn = shard_map(
+            functools.partial(paged_decode_attention_partial,
+                              page_size=page_size),
+            mesh=mesh,
+            in_specs=(P(None, "model", None, None), P("model", None, None),
+                      P("model", None, None), P(None, None), P(None)),
+            out_specs=(P(None, "model", None, None), P(None, "model", None),
+                       P(None, "model", None)),
+            check_rep=False)
+        return fn(qg, kp, vp, bt, ctx)
+    return paged_decode_attention_partial(qg, kp, vp, bt, ctx, page_size)
 
 
 def _use_kernel() -> bool:
@@ -58,6 +88,7 @@ def decode_paged(
     context_len: jax.Array,  # [S] = positions + 1 for active slots
     page_size: int,
     active: Optional[jax.Array] = None,   # [S] bool; inactive writes dropped
+    mesh=None,
 ) -> tuple[jax.Array, PagedKVCache]:
     """One decode step over every slot via the page pool."""
     s = ids.shape[0]
@@ -82,6 +113,13 @@ def decode_paged(
     scale = 1.0 / math.sqrt(spec.head_dim)
     group = spec.num_heads // spec.num_kv_heads
     use_kernel = _use_kernel() and spec.pos != "alibi"
+    if spec.pos == "alibi":
+        from .core import alibi_slopes
+
+        slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads)).reshape(
+            spec.num_kv_heads, group)
+    else:
+        slopes_kg = None
 
     def layer(x, inputs):
         lp, kp, vp = inputs                       # pools [K, P*page, D]
@@ -96,12 +134,16 @@ def decode_paged(
             v.transpose(1, 0, 2).astype(vp.dtype), mode="drop")
 
         qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
-        if use_kernel:
+        if use_kernel and not (mesh is not None
+                               and mesh.shape.get("model", 1) > 1):
             attn = paged_decode_attention(qg, kp, vp, bt, context_len,
                                           page_size)
         else:
+            # GSPMD partitions the gather/einsum reference across the
+            # kv-head axis natively; the plain kernel is single-device
             attn = paged_decode_attention_reference(
-                qg, kp, vp, bt, context_len, page_size)
+                qg, kp, vp, bt, context_len, page_size,
+                alibi_slopes_kg=slopes_kg)
         attn = attn.reshape(s, spec.num_heads, spec.head_dim)
         attn = _attn_out(spec, lp, attn)
 
@@ -118,6 +160,145 @@ def decode_paged(
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     return logits, cache._replace(k=new_k, v=new_v)
+
+
+def decode_paged_ring_step(
+    spec: DecoderSpec,
+    params: dict,
+    ids: jax.Array,          # [S]
+    positions: jax.Array,    # [S] position ids[s] will occupy
+    cache: PagedKVCache,     # pool READ-ONLY this chunk
+    kbuf: jax.Array,         # [L, S, K, C, D] in-chunk keys (cols < step_idx)
+    vbuf: jax.Array,         # [L, S, K, C, D]
+    step_idx: jax.Array,     # scalar i32
+    chunk_start: jax.Array,  # [S] i32: positions at chunk entry
+    page_size: int = 128,
+    mesh=None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Ring-buffer decode step over the paged pool (the paged counterpart
+    of core.decode_ring_step): the pool is never written inside the chunk
+    — the Pallas paged kernel covers pre-chunk context and returns partial
+    softmax stats, which are merged flash-decoding style with the in-chunk
+    ring buffer + current token computed in XLA. One block-table scatter
+    per chunk (engine) replaces the per-step pool copy.
+
+    Returns (logits [S, V] f32, k_all [L, S, K, D], v_all [L, S, K, D]).
+    """
+    s = ids.shape[0]
+    n_buf = kbuf.shape[3]
+    bt = cache.block_table
+    x = _embed(spec, params, ids, positions)
+    if spec.pos == "rope":
+        cos, sin = _rope_freqs(spec, positions)
+    else:
+        cos = sin = None
+    scale = 1.0 / math.sqrt(spec.head_dim)
+    group = spec.num_heads // spec.num_kv_heads
+    use_kernel = _use_kernel() and spec.pos != "alibi"
+    buf_mask = jnp.arange(n_buf, dtype=jnp.int32)[None, :] < step_idx
+
+    if spec.pos == "alibi":
+        from .core import alibi_slopes
+
+        slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads)).reshape(
+            spec.num_kv_heads, group)
+        buf_pos = (chunk_start[:, None]
+                   + jnp.arange(n_buf, dtype=jnp.int32)[None, :])  # [S, C]
+        buf_bias = (slopes_kg[None, :, :, None]
+                    * buf_pos.astype(jnp.float32)[:, None, None, :])
+        new_bias = (slopes_kg[None]
+                    * positions[:, None, None].astype(jnp.float32))
+    else:
+        slopes_kg = None
+        buf_bias = new_bias = None
+
+    def layer(x, inputs):
+        lp, kp, vp, kb, vb = inputs     # pool + ring READ-ONLY
+        h = _norm(spec, lp["ln1"], x)
+        q, k, v = _qkv(spec, lp, h)
+        if cos is not None:
+            q = _apply_rope(spec, q, cos, sin)
+            k = _apply_rope(spec, k, cos, sin)
+        qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
+
+        # part 1: pool attention over pre-chunk context (partial stats)
+        acc1, m1, l1 = _partial_attention(
+            qg, kp, vp, bt, chunk_start, page_size, spec, mesh,
+            slopes_kg=(slopes_kg if spec.pos == "alibi" else None),
+            use_kernel=use_kernel)
+
+        # part 2: in-chunk ring + current token
+        bscores = jnp.einsum("skgd,skcd->skgc", qg, kb,
+                             preferred_element_type=jnp.float32) * scale
+        if buf_bias is not None:
+            bscores = bscores + buf_bias
+        bscores = jnp.where(buf_mask[:, None, None, :], bscores, -jnp.inf)
+        score_new = jnp.sum(
+            qg.astype(jnp.float32) * k[:, :, None, :].astype(jnp.float32),
+            axis=-1) * scale
+        if new_bias is not None:
+            score_new = score_new + new_bias
+        all_r = jnp.concatenate([bscores, score_new[..., None]], axis=-1)
+        m2 = jnp.max(all_r, axis=-1)                         # [S, K, G]
+        p2 = jnp.exp(all_r - m2[..., None])
+        p2 = jnp.where(jnp.isneginf(all_r), 0.0, p2)
+        l2 = jnp.sum(p2, axis=-1)
+        acc2 = jnp.einsum("skgc,skcd->skgd",
+                          p2[..., :n_buf], vb.astype(jnp.float32)) \
+            + p2[..., n_buf:] * v[:, :, None, :].astype(jnp.float32)
+
+        # flash-decoding merge
+        m = jnp.maximum(m1, m2)
+        a1 = jnp.where(jnp.isneginf(m1), 0.0, jnp.exp(m1 - m))
+        a2 = jnp.where(jnp.isneginf(m2), 0.0, jnp.exp(m2 - m))
+        denom = jnp.maximum(l1 * a1 + l2 * a2, 1e-30)
+        attn = (acc1 * a1[..., None] + acc2 * a2[..., None]) \
+            / denom[..., None]
+        attn = attn.astype(x.dtype).reshape(s, spec.num_heads, spec.head_dim)
+        attn = _attn_out(spec, lp, attn)
+
+        if spec.parallel_residual:
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + attn + _mlp(spec, lp, h2)
+        else:
+            x = x + attn
+            h2 = _norm(spec, lp["ln2"], x)
+            x = x + _mlp(spec, lp, h2)
+        return x, (k, v)
+
+    x, (k_all, v_all) = jax.lax.scan(
+        layer, x, (params["layers"], cache.k, cache.v, kbuf, vbuf))
+    x = _norm(spec, params["final_norm"], x)
+    logits = _unembed(spec, params, x)
+    return logits, k_all, v_all
+
+
+def paged_ring_flush(cache: PagedKVCache, kbuf: jax.Array, vbuf: jax.Array,
+                     chunk_start: jax.Array, active: jax.Array,
+                     max_seq: int, page_size: int) -> PagedKVCache:
+    """Scatter a chunk's ring buffers into the page pool through the block
+    table: buffer col c of slot s lands at the pool row of position
+    chunk_start[s] + c. Inactive slots are dropped entirely — their block
+    tables are stale and an in-bounds write would corrupt pages now owned
+    by live requests (same hazard as decode_paged's inactive-write guard).
+    """
+    n_buf = kbuf.shape[3]
+    L, s = kbuf.shape[0], kbuf.shape[1]
+    pool_rows = cache.k.shape[2]
+    bt = cache.block_table
+    wpos = chunk_start[None, :] + jnp.arange(n_buf, dtype=jnp.int32)[:, None]
+    valid = active[None, :] & (wpos < max_seq)                 # [C, S]
+    page_idx = jnp.clip(wpos // page_size, 0, bt.shape[1] - 1)
+    rows = (bt[jnp.arange(s)[None, :], page_idx] * page_size
+            + wpos % page_size)                                # [C, S]
+    rows = jnp.where(valid, rows, pool_rows)                   # OOB -> drop
+    # pool [L, K, R, D]; advanced indices (C, S) at axis 2 stay in place:
+    # updated region is [L, K, C, S, D]
+    new_k = cache.k.at[:, :, rows, :].set(
+        kbuf.transpose(0, 2, 3, 1, 4).astype(cache.k.dtype), mode="drop")
+    new_v = cache.v.at[:, :, rows, :].set(
+        vbuf.transpose(0, 2, 3, 1, 4).astype(cache.v.dtype), mode="drop")
+    return cache._replace(k=new_k, v=new_v)
 
 
 def prefill_paged(

@@ -31,6 +31,69 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
+def _kernel_all_heads_stats(ctx_ref, bt_ref, q_ref, k_ref, v_ref,
+                            o_ref, mo_ref, lo_ref,
+                            m_ref, l_ref, acc_ref, *,
+                            page_size: int, scale: float):
+    """_kernel_all_heads variant that also writes the softmax row max (m)
+    and normalizer (l) so the caller can merge this partial attention with
+    keys held elsewhere (the in-chunk ring buffer) — flash-decoding style
+    two-part softmax combination."""
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    ctx = ctx_ref[s]
+
+    @pl.when(b == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(b * page_size < ctx)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)                 # [K, G, D]
+        k = k_ref[...].astype(jnp.float32)               # [K, page, D]
+        kh, g, d = q.shape
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # [K, G, page]
+        pos = b * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 2)
+        scores = jnp.where(pos < ctx, scores, NEG_INF)
+
+        m_prev = m_ref[...].reshape(kh, g, 1)
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        p = jnp.exp(scores - m_safe)
+        p = jnp.where(scores == NEG_INF, 0.0, p)
+        alpha = jnp.exp(m_prev - m_safe)
+        alpha = jnp.where(m_prev == NEG_INF, 0.0, alpha)
+
+        l_prev = l_ref[...].reshape(kh, g, 1)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_ref[...] = l_new.reshape(kh * g, 1)
+        v = v_ref[...].astype(jnp.float32)               # [K, page, D]
+        v_valid = (b * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, v.shape, 1)) < ctx
+        v = jnp.where(v_valid, v, 0.0)
+        pv = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [K, G, D]
+        acc_ref[...] = (acc_ref[...].reshape(kh, g, d) * alpha
+                        + pv).reshape(kh * g, d)
+        m_ref[...] = m_new.reshape(kh * g, 1)
+
+    @pl.when(b == nb - 1)
+    def _finish():
+        kh, g, d = o_ref.shape[1], o_ref.shape[2], o_ref.shape[3]
+        # UNNORMALIZED accumulator + stats out: caller merges and divides
+        o_ref[0] = acc_ref[...].reshape(kh, g, d).astype(o_ref.dtype)
+        mo_ref[0] = m_ref[...].reshape(kh, g).astype(mo_ref.dtype)
+        lo_ref[0] = l_ref[...].reshape(kh, g).astype(lo_ref.dtype)
+
+
 def _kernel_all_heads(ctx_ref, bt_ref, q_ref, k_ref, v_ref, o_ref,
                       m_ref, l_ref, acc_ref, *, page_size: int, scale: float):
     """Grid (S, num_pages): one program handles ALL kv heads for one
@@ -135,9 +198,100 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                   q, k_pool, v_pool)
 
 
+def paged_decode_attention_partial(q: jax.Array, k_pool: jax.Array,
+                                   v_pool: jax.Array, block_table: jax.Array,
+                                   ctx: jax.Array, page_size: int,
+                                   *, interpret: bool = False):
+    """Attention over the pool returning the UNNORMALIZED accumulator and
+    softmax stats (acc [S,K,G,D] f32, m [S,K,G] f32, l [S,K,G] f32) for
+    flash-decoding-style merging with another key set. For slots with
+    ctx == 0, m = -inf and l = 0 (the merge then ignores the pool part)."""
+    s, kh, g, d = q.shape
+    max_pages = block_table.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    def q_index(si, bi, ctx_ref, bt_ref):
+        return (si, 0, 0, 0)
+
+    def kv_index(si, bi, ctx_ref, bt_ref):
+        last_live = jnp.maximum(pl.cdiv(ctx_ref[si], page_size) - 1, 0)
+        page = bt_ref[si, jnp.minimum(bi, last_live)]
+        return (0, page, 0)
+
+    def o_index(si, bi, ctx_ref, bt_ref):
+        return (si, 0, 0, 0)
+
+    def stat_index(si, bi, ctx_ref, bt_ref):
+        return (si, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, kh, g, d), q_index),
+            pl.BlockSpec((kh, page_size, d), kv_index),
+            pl.BlockSpec((kh, page_size, d), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kh, g, d), o_index),
+            pl.BlockSpec((1, kh, g), stat_index),
+            pl.BlockSpec((1, kh, g), stat_index),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kh * g, 1), jnp.float32),
+            pltpu.VMEM((kh * g, 1), jnp.float32),
+            pltpu.VMEM((kh * g, d), jnp.float32),
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_kernel_all_heads_stats, page_size=page_size,
+                          scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, kh, g, d), jnp.float32),
+            jax.ShapeDtypeStruct((s, kh, g), jnp.float32),
+            jax.ShapeDtypeStruct((s, kh, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    return kernel(ctx.astype(jnp.int32), block_table.astype(jnp.int32),
+                  q, k_pool, v_pool)
+
+
+def paged_decode_attention_partial_reference(q, k_pool, v_pool, block_table,
+                                             ctx, page_size,
+                                             alibi_slopes_kg=None):
+    """XLA gather-based equivalent of paged_decode_attention_partial.
+    Gathered key index t IS the absolute position (pages are gathered in
+    block-table order), so ALiBi bias is slopes * t when requested."""
+    s, kh, g, d = q.shape
+    rows = (block_table[:, :, None] * page_size
+            + jnp.arange(page_size)[None, None, :]).reshape(s, -1)
+    k = jnp.take(k_pool, rows, axis=1)          # [K, S, T', D]
+    v = jnp.take(v_pool, rows, axis=1)
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum("skgd,kstd->skgt", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    t = rows.shape[1]
+    if alibi_slopes_kg is not None:
+        scores = scores + (alibi_slopes_kg[None, :, :, None]
+                           * jnp.arange(t, dtype=jnp.float32)[None, None, None])
+    mask = jnp.arange(t)[None, :] < ctx[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    m = jnp.max(scores, axis=-1)                               # [S, K, G]
+    m_safe = jnp.where(m == NEG_INF, 0.0, m)
+    p = jnp.exp(scores - m_safe[..., None])
+    p = jnp.where(scores == NEG_INF, 0.0, p)
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("skgt,kstd->skgd", p, v.astype(jnp.float32))
+    return acc, m, l
+
+
 def paged_decode_attention_reference(q, k_pool, v_pool, block_table, ctx,
-                                     page_size):
-    """XLA gather-based reference (also the CPU fallback path)."""
+                                     page_size, alibi_slopes_kg=None):
+    """XLA gather-based reference (also the CPU / ALiBi fallback path).
+    Gathered key index t is the absolute position, so ALiBi bias is
+    slopes * t when requested."""
     s, kh, g, d = q.shape
     max_pages = block_table.shape[1]
     # gather each slot's pages into contiguous [K, S, T', D]
@@ -149,6 +303,9 @@ def paged_decode_attention_reference(q, k_pool, v_pool, block_table, ctx,
     scores = jnp.einsum("skgd,kstd->skgt", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
     t = rows.shape[1]
+    if alibi_slopes_kg is not None:
+        scores = scores + (alibi_slopes_kg[None, :, :, None]
+                           * jnp.arange(t, dtype=jnp.float32)[None, None, None])
     mask = jnp.arange(t)[None, :] < ctx[:, None]
     scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)

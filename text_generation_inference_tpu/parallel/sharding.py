@@ -131,6 +131,24 @@ def shard_cache(cache: KVCache, spec: DecoderSpec, mesh: Mesh) -> KVCache:
     return KVCache(k=jax.device_put(cache.k, s), v=jax.device_put(cache.v, s))
 
 
+def paged_pool_spec(spec: DecoderSpec, mesh: Mesh) -> P:
+    """Paged pool [L, K, P*page, D]: kv heads on "model" when divisible
+    (the paged counterpart of cache_spec — the reference shards the paged
+    KV on heads the same way its contiguous cache is sharded)."""
+    kv_axis = "model" if _shardable(spec.num_kv_heads, mesh) else None
+    return P(None, kv_axis, None, None)
+
+
+def shard_paged_cache(cache, spec: DecoderSpec, mesh: Mesh):
+    """Shard a PagedKVCache: pool on kv heads, block table replicated."""
+    pool = NamedSharding(mesh, paged_pool_spec(spec, mesh))
+    repl = NamedSharding(mesh, P(None, None))
+    return cache._replace(
+        k=jax.device_put(cache.k, pool),
+        v=jax.device_put(cache.v, pool),
+        block_table=jax.device_put(cache.block_table, repl))
+
+
 def replicate(tree, mesh: Mesh):
     full = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, full), tree)

@@ -318,7 +318,18 @@ class Batcher:
         Returns (steps, n_emit) captured atomically with the call."""
         t0 = time.monotonic()
         decode_fn = getattr(self.engine, "decode_steps", None)
-        steps = decode_fn() if decode_fn is not None else [self.engine.decode()]
+        if decode_fn is not None:
+            # the no-details decode program skips logprob/top-n work when no
+            # active request asked for token info (reference computes
+            # details only on request)
+            want = any(r.options.generated_tokens
+                       for r in self.active.values())
+            try:
+                steps = decode_fn(want_details=want)
+            except TypeError:
+                steps = decode_fn()
+        else:
+            steps = [self.engine.decode()]
         metrics.observe("tgi_batch_inference_duration", time.monotonic() - t0,
                         method="next_token")
         return steps, getattr(self.engine, "last_n_emitted", None)

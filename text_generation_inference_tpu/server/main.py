@@ -97,10 +97,8 @@ def build_engine(config: ServingConfig):
     if os.getenv("PAGED_ATTENTION", "").lower() in ("1", "true"):
         from ..engine.paged_engine import PagedInferenceEngine
 
-        if mesh is not None:
-            logger.warning("paged engine does not shard yet; running "
-                           "single-device (unset PAGED_ATTENTION for TP)")
-        engine = PagedInferenceEngine(spec, params, config, eos_token_id=eos)
+        engine = PagedInferenceEngine(spec, params, config, eos_token_id=eos,
+                                      mesh=mesh)
     elif os.getenv("SPECULATOR", "").lower() in ("1", "true"):
         from ..engine.speculative import SpeculativeEngine
 
