@@ -17,6 +17,7 @@ the batcher consults before admitting.
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import time
 from functools import partial
@@ -318,8 +319,16 @@ class PagedInferenceEngine:
             - params_b - act
         pages = max(usable // bytes_per_page,
                     self.num_slots * 2)
-        # at least enough for one max-length sequence
-        return int(max(pages, -(-self.max_seq // self.page_size)))
+        # at least enough for one max-length sequence...
+        pages = max(pages, -(-self.max_seq // self.page_size))
+        # ...and never more than every slot's worst case can consume — a
+        # bigger pool is pure HBM waste the allocator can never hand out
+        worst_case = self.num_slots * (-(-self.max_seq // self.page_size))
+        pages = min(pages, worst_case)
+        env = os.getenv("PAGED_POOL_PAGES")
+        if env:
+            pages = int(env)
+        return int(pages)
 
     # -- capacity -----------------------------------------------------------
 
