@@ -1,0 +1,292 @@
+"""INT4 matmul kernel variants on the real chip.
+
+50M-weight decode matmul (4096x12288, groupsize 128, S=16) — the ROADMAP
+north-star shape. SOL at 819GB/s reading 4-bit weights = ~31us; round-1
+kernel measures ~1.1ms (VPU relayout-bound: the [BI/8, 8, BO] nibble unpack
+crosses sublanes).
+
+Variants:
+  current   round-1 int4_matmul kernel
+  xla8      x @ w8.astype(bf16): int8 weights in HBM, XLA convert-on-read
+  pallas8   Pallas kernel, int8 weight blocks, convert + group-dot in VMEM
+  pallas4   Pallas kernel, NATIVE jnp.int4 weight blocks (s4 ref)
+  bitcast   Pallas kernel, int32 lane-major packed, in-kernel bitcast to s4
+
+Usage: PYTHONPATH=... python scripts/probe_int4.py current xla8 pallas8 ...
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+S, IN_F, OUT_F, GS = 16, 4096, 12288, 128
+CALLS = 8
+
+
+CHAIN = 64
+
+
+def _chain(fn, extra_args):
+    """Wrap fn(x, *extra) into a CHAIN-long dependent loop inside ONE jit:
+    the remote-tunnel fetch (~33ms fixed) is paid once, not per call."""
+
+    def run(x, *extra):
+        def body(x, _):
+            y = fn(x, *extra)
+            return y[:, :IN_F].astype(x.dtype) * 1e-3, None
+
+        x, _ = jax.lax.scan(body, x, None, length=CHAIN)
+        return x
+
+    return jax.jit(run)
+
+
+def _time(fn, x, *extra):
+    g = _chain(fn, extra)
+    y = g(x, *extra)
+    np.asarray(y[0, 0])          # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(CALLS):
+        y = g(x, *extra)
+        np.asarray(y[0, 0])
+    total = (time.perf_counter() - t0) / CALLS
+    return (total * 1e3 - 33.0) / CHAIN   # strip the ~33ms tunnel fetch
+
+
+def make_int4weight(rng):
+    from text_generation_inference_tpu.ops.quant.int4 import Int4Weight
+
+    groups = IN_F // GS
+    return Int4Weight(
+        qweight=jnp.asarray(rng.integers(-2**31, 2**31,
+                                         size=(IN_F // 8, OUT_F),
+                                         dtype=np.int64).astype(np.int32)),
+        qzeros=jnp.asarray(rng.integers(-2**31, 2**31,
+                                        size=(groups, OUT_F // 8),
+                                        dtype=np.int64).astype(np.int32)),
+        scales=jnp.asarray(rng.normal(scale=0.01,
+                                      size=(groups, OUT_F)).astype(np.float32)),
+        g_idx=jnp.asarray((np.arange(IN_F) // GS).astype(np.int32)),
+        perm=None,
+        zbias=jnp.asarray(rng.normal(scale=0.05,
+                                     size=(groups, OUT_F)).astype(np.float32)),
+    )
+
+
+# ---- pallas8 / pallas4: weight rows contiguous, scale via group-dot ------
+
+def _k_rows(x_ref, w_ref, sc_ref, zb_ref, o_ref, acc_ref, *,
+            block_in, groupsize):
+    ii = pl.program_id(1)
+    ni = pl.num_programs(1)
+    gpb = block_in // groupsize
+
+    @pl.when(ii == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...].astype(jnp.bfloat16)          # [BI, BO]
+    bo = w.shape[1]
+    sc = sc_ref[0, :gpb, :]
+    zb = zb_ref[0, :gpb, :]
+    x = x_ref[...].astype(jnp.bfloat16)
+    xg = x.reshape(x.shape[0], gpb, groupsize)
+    wg = w.reshape(gpb, groupsize, bo)
+    acc = jnp.zeros_like(acc_ref)
+    for g in range(gpb):
+        partial = jax.lax.dot_general(
+            xg[:, g, :], wg[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + partial * sc[g][None, :].astype(jnp.float32)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)
+    acc = acc - jax.lax.dot_general(
+        xsum, zb.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
+
+    @pl.when(ii == ni - 1)
+    def _finish():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def rows_kernel(x, w_rows, sc, zb, block_in=512, block_out=1024):
+    s, in_f = x.shape
+    out_f = w_rows.shape[1]
+    gpb = block_in // GS
+    ni, no = in_f // block_in, out_f // block_out
+    scb = sc.reshape(ni, gpb, out_f)
+    zbb = zb.reshape(ni, gpb, out_f)
+    pad = ((0, 0), (0, 8 - gpb), (0, 0)) if gpb < 8 else None
+    if pad:
+        scb = jnp.pad(scb, pad)
+        zbb = jnp.pad(zbb, pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(no, ni),
+        in_specs=[
+            pl.BlockSpec((s, block_in), lambda oi, ii: (0, ii)),
+            pl.BlockSpec((block_in, block_out), lambda oi, ii: (ii, oi)),
+            pl.BlockSpec((1, 8, block_out), lambda oi, ii: (ii, 0, oi)),
+            pl.BlockSpec((1, 8, block_out), lambda oi, ii: (ii, 0, oi)),
+        ],
+        out_specs=pl.BlockSpec((s, block_out), lambda oi, ii: (0, oi)),
+        scratch_shapes=[pltpu.VMEM((s, block_out), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_k_rows, block_in=block_in, groupsize=GS),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, out_f), x.dtype),
+    )(x, w_rows, scb, zbb)
+
+
+# ---- bitcast: int32 lane-major packed, in-kernel bitcast -----------------
+
+def _k_bitcast(x_ref, qw_ref, sc_ref, zb_ref, o_ref, acc_ref, *,
+               block_in, groupsize):
+    ii = pl.program_id(1)
+    ni = pl.num_programs(1)
+    gpb = block_in // groupsize
+
+    @pl.when(ii == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qw = qw_ref[...]                              # [BI, BO/8] int32
+    q4 = jax.lax.bitcast_convert_type(qw, jnp.int4)   # [BI, BO/8, 8]
+    w = q4.reshape(qw.shape[0], qw.shape[1] * 8).astype(jnp.bfloat16)
+    bo = w.shape[1]
+    sc = sc_ref[0, :gpb, :]
+    zb = zb_ref[0, :gpb, :]
+    x = x_ref[...].astype(jnp.bfloat16)
+    xg = x.reshape(x.shape[0], gpb, groupsize)
+    wg = w.reshape(gpb, groupsize, bo)
+    acc = jnp.zeros_like(acc_ref)
+    for g in range(gpb):
+        partial = jax.lax.dot_general(
+            xg[:, g, :], wg[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + partial * sc[g][None, :].astype(jnp.float32)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)
+    acc = acc - jax.lax.dot_general(
+        xsum, zb.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
+
+    @pl.when(ii == ni - 1)
+    def _finish():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def bitcast_kernel(x, qw_lane, sc, zb, block_in=512, block_out=1024):
+    s, in_f = x.shape
+    out_f = qw_lane.shape[1] * 8
+    gpb = block_in // GS
+    ni, no = in_f // block_in, out_f // block_out
+    scb = sc.reshape(ni, gpb, out_f)
+    zbb = zb.reshape(ni, gpb, out_f)
+    if gpb < 8:
+        scb = jnp.pad(scb, ((0, 0), (0, 8 - gpb), (0, 0)))
+        zbb = jnp.pad(zbb, ((0, 0), (0, 8 - gpb), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(no, ni),
+        in_specs=[
+            pl.BlockSpec((s, block_in), lambda oi, ii: (0, ii)),
+            pl.BlockSpec((block_in, block_out // 8), lambda oi, ii: (ii, oi)),
+            pl.BlockSpec((1, 8, block_out), lambda oi, ii: (ii, 0, oi)),
+            pl.BlockSpec((1, 8, block_out), lambda oi, ii: (ii, 0, oi)),
+        ],
+        out_specs=pl.BlockSpec((s, block_out), lambda oi, ii: (0, oi)),
+        scratch_shapes=[pltpu.VMEM((s, block_out), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_k_bitcast, block_in=block_in, groupsize=GS),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, out_f), x.dtype),
+    )(x, qw_lane, scb, zbb)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(S, IN_F)).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    results = {}
+    for variant in sys.argv[1:]:
+        try:
+            if variant == "current":
+                from text_generation_inference_tpu.ops.pallas.int4_matmul \
+                    import int4_matmul
+
+                w = make_int4weight(rng)
+                fn = lambda x: int4_matmul(x, w, compute_dtype=jnp.bfloat16)
+                ms = _time(fn, x)
+            elif variant == "xla8":
+                w8 = jnp.asarray(rng.integers(
+                    -8, 8, size=(IN_F, OUT_F), dtype=np.int64)
+                    .astype(np.int8))
+                sc = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+
+                def f(x, w8, sc):
+                    w = w8.astype(jnp.bfloat16).reshape(
+                        IN_F // GS, GS, OUT_F)
+                    w = (w * sc[:, None, :].astype(jnp.bfloat16)).reshape(
+                        IN_F, OUT_F)
+                    return x @ w
+                ms = _time(f, x, w8, sc)
+            elif variant == "pallas8":
+                w8 = jnp.asarray(rng.integers(
+                    -8, 8, size=(IN_F, OUT_F), dtype=np.int64)
+                    .astype(np.int8))
+                sc = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+                zb = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+                ms = _time(rows_kernel, x, w8, sc, zb)
+            elif variant == "pallas4":
+                w8 = jnp.asarray(rng.integers(
+                    -8, 8, size=(IN_F, OUT_F), dtype=np.int64)
+                    .astype(np.int8))
+                sc = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+                zb = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+
+                # convert + kernel inside ONE jit (device_put of s4 across
+                # jit boundaries recurses under the axon plugin)
+                def f(x, w8, s_, z_):
+                    return rows_kernel(x, w8.astype(jnp.int4), s_, z_)
+                ms = _time(f, x, w8, sc, zb)
+            elif variant == "bitcast":
+                qw = jnp.asarray(rng.integers(
+                    -2**31, 2**31, size=(IN_F, OUT_F // 8),
+                    dtype=np.int64).astype(np.int32))
+                sc = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+                zb = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+                ms = _time(bitcast_kernel, x, qw, sc, zb)
+            else:
+                raise ValueError(variant)
+            results[variant] = round(ms, 4)
+            print(f"{variant}: {ms:.4f} ms", file=sys.stderr)
+        except Exception as e:
+            results[variant] = f"FAIL: {type(e).__name__}: {str(e)[:200]}"
+            print(f"{variant}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -163,3 +163,175 @@ ALL_DECODER_FIXTURES = {
     "gpt_bigcode": tiny_bigcode,
     "falcon": tiny_falcon,
 }
+
+
+# --- real tokenizer-family fixtures (ByteLevel / Metaspace / WordPiece) ---
+
+FAMILY_CORPUS = [
+    "hello world this is a test of the tokenizer library",
+    "the quick brown fox jumps over the lazy dog",
+    "café naïve résumé — unicode text üöä",
+    "日本語のテキストです。中文文本。한국어 텍스트",
+    "emoji: 👍 👩‍👩‍👧‍👦 🇺🇸 🏳️‍🌈 café́",
+    "combining: áêï ñ",
+    "streaming text generation with stop sequences and tokens",
+] * 30
+
+# Decode targets: streams that stress each family's quirks.
+FAMILY_TEXTS = [
+    "hello world this is a test",
+    "café naïve — üöä résumé",
+    "日本語テキスト 한국어 中文",
+    "emoji 👍 and flags 🇺🇸🇫🇷 done",
+    "family: 👩‍👩‍👧‍👦 plus tone 👍🏽",
+    "combining á ê marks",
+    "  spaces   and\nnewlines\t tabs ",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def bytelevel_tokenizer_file() -> str:
+    """GPT-2 family: ByteLevel pre-tokenizer + ByteLevel decoder."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    out = FIXTURE_ROOT / "family_bytelevel.json"
+    if not out.exists():
+        tok = Tokenizer(models.BPE(unk_token=None))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = decoders.ByteLevel()
+        trainer = trainers.BpeTrainer(
+            vocab_size=512, special_tokens=["<|endoftext|>"],
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+        tok.train_from_iterator(FAMILY_CORPUS, trainer)
+        tok.save(str(out))
+    return str(out)
+
+
+@functools.lru_cache(maxsize=None)
+def metaspace_tokenizer_file() -> str:
+    """Llama/T5 family: Metaspace pre-tokenizer + Metaspace decoder over a
+    Unigram model (the sentencepiece-compatible path)."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    out = FIXTURE_ROOT / "family_metaspace.json"
+    if not out.exists():
+        tok = Tokenizer(models.Unigram())
+        tok.pre_tokenizer = pre_tokenizers.Metaspace()
+        tok.decoder = decoders.Metaspace()
+        trainer = trainers.UnigramTrainer(
+            vocab_size=512, special_tokens=["<unk>", "<s>", "</s>"],
+            unk_token="<unk>")
+        tok.train_from_iterator(FAMILY_CORPUS, trainer)
+        tok.save(str(out))
+    return str(out)
+
+
+@functools.lru_cache(maxsize=None)
+def wordpiece_tokenizer_file() -> str:
+    """BERT family: WordPiece model + ## continuation decoder."""
+    from tokenizers import Tokenizer, decoders, models, normalizers, \
+        pre_tokenizers, trainers
+
+    out = FIXTURE_ROOT / "family_wordpiece.json"
+    if not out.exists():
+        tok = Tokenizer(models.WordPiece(unk_token="[UNK]"))
+        tok.normalizer = normalizers.NFC()
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        tok.decoder = decoders.WordPiece(prefix="##")
+        trainer = trainers.WordPieceTrainer(
+            vocab_size=512, special_tokens=["[UNK]", "[CLS]", "[SEP]"])
+        tok.train_from_iterator(FAMILY_CORPUS, trainer)
+        tok.save(str(out))
+    return str(out)
+
+
+
+
+# --- real-family served checkpoints (for the golden-output suite) ---------
+
+def _eos_of(tok_file: str, candidates=("</s>", "<|endoftext|>", "[SEP]")):
+    from tokenizers import Tokenizer
+
+    tok = Tokenizer.from_file(tok_file)
+    for c in candidates:
+        tid = tok.token_to_id(c)
+        if tid is not None:
+            return tid
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def golden_gpt2_dir() -> str:
+    """Tiny GPT-2 + REAL ByteLevel BPE tokenizer.json (golden family 1)."""
+    import shutil
+
+    from tokenizers import Tokenizer
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    tok_file = bytelevel_tokenizer_file()
+    vocab = Tokenizer.from_file(tok_file).get_vocab_size()
+    eos = _eos_of(tok_file)
+    out = FIXTURE_ROOT / "golden_gpt2"
+    if not (out / "config.json").exists():
+        torch.manual_seed(21)
+        cfg = GPT2Config(
+            vocab_size=vocab, n_embd=64, n_layer=2, n_head=4, n_positions=128,
+            eos_token_id=eos, bos_token_id=eos)
+        _save(GPT2LMHeadModel(cfg).eval(), "golden_gpt2")
+        shutil.copy(tok_file, out / "tokenizer.json")
+    return str(out)
+
+
+@functools.lru_cache(maxsize=None)
+def golden_llama_dir() -> str:
+    """Tiny Llama + REAL Metaspace/Unigram tokenizer.json (golden family 2,
+    the sentencepiece-compatible path)."""
+    import shutil
+
+    from tokenizers import Tokenizer
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    tok_file = metaspace_tokenizer_file()
+    vocab = Tokenizer.from_file(tok_file).get_vocab_size()
+    eos = _eos_of(tok_file)
+    out = FIXTURE_ROOT / "golden_llama"
+    if not (out / "config.json").exists():
+        torch.manual_seed(22)
+        cfg = LlamaConfig(
+            vocab_size=vocab, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=128, rms_norm_eps=1e-6,
+            tie_word_embeddings=False, eos_token_id=eos, bos_token_id=None)
+        _save(LlamaForCausalLM(cfg).eval(), "golden_llama")
+        shutil.copy(tok_file, out / "tokenizer.json")
+    return str(out)
+
+
+@functools.lru_cache(maxsize=None)
+def golden_t5_dir() -> str:
+    """Tiny T5 + REAL Metaspace tokenizer.json (golden family 3,
+    encoder-decoder)."""
+    import shutil
+
+    from tokenizers import Tokenizer
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    tok_file = metaspace_tokenizer_file()
+    tok = Tokenizer.from_file(tok_file)
+    vocab = tok.get_vocab_size()
+    eos = _eos_of(tok_file)
+    pad = tok.token_to_id("<unk>") or 0
+    out = FIXTURE_ROOT / "golden_t5"
+    if not (out / "config.json").exists():
+        torch.manual_seed(23)
+        cfg = T5Config(
+            vocab_size=vocab, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+            num_decoder_layers=2, num_heads=4,
+            relative_attention_num_buckets=8,
+            relative_attention_max_distance=32,
+            feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+            dropout_rate=0.0, decoder_start_token_id=pad,
+            eos_token_id=eos, pad_token_id=pad)
+        _save(T5ForConditionalGeneration(cfg).eval(), "golden_t5")
+        shutil.copy(tok_file, out / "tokenizer.json")
+    return str(out)

@@ -26,90 +26,15 @@ from text_generation_inference_tpu.utils.detokenizer import (
     StopSequenceState,
 )
 from text_generation_inference_tpu.utils.tokenization import ServingTokenizer
-from tests.fixtures import FIXTURE_ROOT
-
-CORPUS = [
-    "hello world this is a test of the tokenizer library",
-    "the quick brown fox jumps over the lazy dog",
-    "café naïve résumé — unicode text üöä",
-    "日本語のテキストです。中文文本。한국어 텍스트",
-    "emoji: 👍 👩‍👩‍👧‍👦 🇺🇸 🏳️‍🌈 café́",
-    "combining: áêï ñ",
-    "streaming text generation with stop sequences and tokens",
-] * 30
-
-# Decode targets: streams that stress each family's quirks.
-TEXTS = [
-    "hello world this is a test",
-    "café naïve — üöä résumé",
-    "日本語テキスト 한국어 中文",
-    "emoji 👍 and flags 🇺🇸🇫🇷 done",
-    "family: 👩‍👩‍👧‍👦 plus tone 👍🏽",
-    "combining á ê marks",
-    "  spaces   and\nnewlines\t tabs ",
-]
-
-
-@functools.lru_cache(maxsize=None)
-def _bytelevel_file() -> str:
-    """GPT-2 family: ByteLevel pre-tokenizer + ByteLevel decoder."""
-    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
-
-    out = FIXTURE_ROOT / "family_bytelevel.json"
-    if not out.exists():
-        tok = Tokenizer(models.BPE(unk_token=None))
-        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
-        tok.decoder = decoders.ByteLevel()
-        trainer = trainers.BpeTrainer(
-            vocab_size=512, special_tokens=["<|endoftext|>"],
-            initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
-        tok.train_from_iterator(CORPUS, trainer)
-        tok.save(str(out))
-    return str(out)
-
-
-@functools.lru_cache(maxsize=None)
-def _metaspace_file() -> str:
-    """Llama/T5 family: Metaspace pre-tokenizer + Metaspace decoder over a
-    Unigram model (the sentencepiece-compatible path)."""
-    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
-
-    out = FIXTURE_ROOT / "family_metaspace.json"
-    if not out.exists():
-        tok = Tokenizer(models.Unigram())
-        tok.pre_tokenizer = pre_tokenizers.Metaspace()
-        tok.decoder = decoders.Metaspace()
-        trainer = trainers.UnigramTrainer(
-            vocab_size=512, special_tokens=["<unk>", "<s>", "</s>"],
-            unk_token="<unk>")
-        tok.train_from_iterator(CORPUS, trainer)
-        tok.save(str(out))
-    return str(out)
-
-
-@functools.lru_cache(maxsize=None)
-def _wordpiece_file() -> str:
-    """BERT family: WordPiece model + ## continuation decoder."""
-    from tokenizers import Tokenizer, decoders, models, normalizers, \
-        pre_tokenizers, trainers
-
-    out = FIXTURE_ROOT / "family_wordpiece.json"
-    if not out.exists():
-        tok = Tokenizer(models.WordPiece(unk_token="[UNK]"))
-        tok.normalizer = normalizers.NFC()
-        tok.pre_tokenizer = pre_tokenizers.Whitespace()
-        tok.decoder = decoders.WordPiece(prefix="##")
-        trainer = trainers.WordPieceTrainer(
-            vocab_size=512, special_tokens=["[UNK]", "[CLS]", "[SEP]"])
-        tok.train_from_iterator(CORPUS, trainer)
-        tok.save(str(out))
-    return str(out)
-
+from tests.fixtures import (FAMILY_TEXTS as TEXTS,
+                            FIXTURE_ROOT, bytelevel_tokenizer_file,
+                            metaspace_tokenizer_file,
+                            wordpiece_tokenizer_file)
 
 FAMILIES = {
-    "bytelevel": _bytelevel_file,
-    "metaspace": _metaspace_file,
-    "wordpiece": _wordpiece_file,
+    "bytelevel": bytelevel_tokenizer_file,
+    "metaspace": metaspace_tokenizer_file,
+    "wordpiece": wordpiece_tokenizer_file,
 }
 
 
@@ -268,7 +193,7 @@ class TestGraphemeSafety:
         from tokenizers import Tokenizer
 
         tok = ServingTokenizer(
-            Tokenizer.from_file(_bytelevel_file()), eos_token_id=None)
+            Tokenizer.from_file(bytelevel_tokenizer_file()), eos_token_id=None)
         text = "ok 👩‍👩‍👧‍👦 done"
         ids = tok.encode(text)
         dec = IncrementalDecoder(tok)
