@@ -148,3 +148,19 @@ class TestPagedTensorParallel:
         engine = self._make(params, mesh)
         # kv heads (4) divisible by model axis (4): pool sharded on heads
         assert engine.cache.k.sharding.spec == P(None, "model", None, None)
+
+
+def test_two_process_distributed_dryrun():
+    """2-process jax.distributed CPU run (the DCN/multi-host path) —
+    counterpart of the reference's 2-shard gloo test (reference:
+    integration_tests/test_server.py:396-420)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).parents[1] / "scripts" / "dryrun_multihost.py"
+    out = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "multihost dryrun ok" in out.stdout
