@@ -217,6 +217,20 @@ def bitcast_kernel(x, qw_lane, sc, zb, block_in=512, block_out=1024):
     )(x, qw_lane, scb, zbb)
 
 
+def _probe_persistent_s4():
+    """Can a persistent s4 array feed a pallas kernel across jit calls?"""
+    rng = np.random.default_rng(1)
+    w8 = jnp.asarray(rng.integers(-8, 8, size=(IN_F, OUT_F),
+                                  dtype=np.int64).astype(np.int8))
+    w4 = jax.jit(lambda a: a.astype(jnp.int4))(w8)
+    sc = jnp.asarray(rng.normal(size=(IN_F // GS, OUT_F)).astype(np.float32))
+    zb = jnp.asarray(rng.normal(size=(IN_F // GS, OUT_F)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(S, IN_F)).astype(np.float32)).astype(
+        jnp.bfloat16)
+    ms = _time(rows_kernel, x, w4, sc, zb)
+    return ms
+
+
 def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(S, IN_F)).astype(np.float32)) \
@@ -277,6 +291,8 @@ def main():
                 zb = jnp.asarray(rng.normal(
                     size=(IN_F // GS, OUT_F)).astype(np.float32))
                 ms = _time(bitcast_kernel, x, qw, sc, zb)
+            elif variant == "pallas4p":
+                ms = _probe_persistent_s4()
             else:
                 raise ValueError(variant)
             results[variant] = round(ms, 4)

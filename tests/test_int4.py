@@ -75,3 +75,80 @@ class TestFusedKernel:
         assert im.is_sequential_gidx(q)
         shuffled = q._replace(g_idx=q.g_idx[::-1])
         assert not im.is_sequential_gidx(shuffled)
+
+
+class TestNativeS4:
+    """Native-s4 representation (populate_q4 / int4_matmul_s4): the TPU
+    decode path converts packed weights to jnp.int4 inside each chunk jit
+    (linops.prepare_params) — ~12x faster than the packed kernel."""
+
+    def _weight(self, in_f=256, out_f=256, gs=128, seed=0):
+        from text_generation_inference_tpu.ops.quant.int4 import quantize_rtn
+
+        rng = np.random.default_rng(seed)
+        return quantize_rtn(
+            rng.normal(size=(in_f, out_f)).astype(np.float32), groupsize=gs)
+
+    def test_dequant_s4_exact_match(self):
+        from text_generation_inference_tpu.ops.quant.int4 import (
+            dequantize, dequantize_s4, populate_q4)
+
+        w = self._weight()
+        dense = np.asarray(dequantize(w, jnp.float32))
+        w4 = populate_q4(w)
+        assert w4.qweight is None and w4.q4 is not None
+        dense4 = np.asarray(dequantize_s4(w4, jnp.float32))
+        # association differs ((q-z)*s vs q*s - z*s): equal to float eps
+        np.testing.assert_allclose(dense4, dense, rtol=1e-5, atol=1e-6)
+
+    def test_matmul_dequant_uses_q4(self):
+        from text_generation_inference_tpu.ops.quant.int4 import (
+            matmul_dequant, populate_q4)
+
+        w = self._weight(seed=1)
+        x = jnp.asarray(np.random.default_rng(2).normal(
+            size=(4, w.in_features)).astype(np.float32))
+        y_packed = np.asarray(matmul_dequant(x, w))
+        y_s4 = np.asarray(matmul_dequant(x, populate_q4(w)))
+        np.testing.assert_allclose(y_s4, y_packed, rtol=1e-5, atol=1e-5)
+
+    def test_populate_q4_stacked(self):
+        from text_generation_inference_tpu.ops.quant.int4 import (
+            Int4Weight, dequantize, dequantize_s4, populate_q4)
+
+        w0, w1 = self._weight(seed=3), self._weight(seed=4)
+        stacked = Int4Weight(
+            qweight=jnp.stack([w0.qweight, w1.qweight]),
+            qzeros=jnp.stack([w0.qzeros, w1.qzeros]),
+            scales=jnp.stack([w0.scales, w1.scales]),
+            g_idx=jnp.stack([w0.g_idx, w1.g_idx]),
+            perm=None,
+            zbias=jnp.stack([w0.zbias, w1.zbias]))
+        s4 = populate_q4(stacked)
+        assert s4.q4.shape == (2, w0.in_features, w0.out_features)
+        for i, w in enumerate((w0, w1)):
+            got = np.asarray(dequantize_s4(
+                s4._replace(q4=s4.q4[i], scales=s4.scales[i],
+                            zbias=s4.zbias[i], g_idx=s4.g_idx[i]),
+                jnp.float32))
+            np.testing.assert_allclose(
+                got, np.asarray(dequantize(w, jnp.float32)),
+                rtol=1e-5, atol=1e-6)
+
+    def test_s4_kernel_interpret(self):
+        from text_generation_inference_tpu.ops.pallas.int4_matmul import (
+            int4_matmul_s4)
+        from text_generation_inference_tpu.ops.quant.int4 import (
+            matmul_dequant, populate_q4)
+
+        w = populate_q4(self._weight(in_f=256, out_f=256, seed=5))
+        x = jnp.asarray(np.random.default_rng(6).normal(
+            size=(4, 256)).astype(np.float32))
+        try:
+            y = int4_matmul_s4(x, w, compute_dtype=jnp.float32,
+                               interpret=True)
+        except Exception as e:
+            pytest.skip(f"s4 unsupported in interpret mode: {e}")
+        ref = matmul_dequant(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

@@ -34,6 +34,7 @@ import numpy as np
 
 from ..config import ServingConfig
 from ..models import core
+from ..ops import linear as linops
 from ..models.core import DecoderSpec, KVCache
 from . import sampling
 from .sampling import SlotSamplingParams
@@ -114,6 +115,7 @@ class PrefillResult(NamedTuple):
 def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
                  cache: KVCache, state: EngineState,
                  write_mode: str = "post", want_details: bool = True):
+    params = linops.prepare_params(params)
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
@@ -145,6 +147,7 @@ def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
     per-fetch host/tunnel overhead — with the host-side stopping logic
     applied per token afterwards, behavior is identical except that slots
     whose request stops mid-chunk compute (discarded) extra tokens."""
+    params = linops.prepare_params(params)
 
     def body(carry, _):
         cache, state = carry
@@ -165,6 +168,7 @@ def _decode_ring_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
     single cache scatter at chunk end (see core.decode_ring_step). The
     fastest decode path: the cache slabs are read-only inside the scan, so
     XLA neither carries nor copies them per step."""
+    params = linops.prepare_params(params)
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)   # [S]
@@ -211,6 +215,10 @@ def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
                   slots: jax.Array,      # [N]
                   prefix_len: jax.Array,                      # [N] i32
                   prefix_embeds: Optional[jax.Array] = None): # [N, B, D]
+    # NOTE: no prepare_params here — prefill amortizes the packed kernel's
+    # unpack over the whole bucket (compute-bound), and skipping the s4
+    # conversion keeps the transient q4 copy out of prefill's activation
+    # peak (7B INT4 would OOM 16G HBM otherwise)
     n, b = ids.shape
     t_max = state.history.shape[1]
     logits_all, cache = core.prefill(

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..config import ServingConfig
 from ..models import core, paged_core
+from ..ops import linear as linops
 from ..models.core import DecoderSpec
 from . import sampling
 from .engine import (EngineDeviceError, EngineState, PrefillResult,
@@ -42,6 +43,7 @@ logger = logging.getLogger(__name__)
 def _paged_decode_step(spec: DecoderSpec, eos_id: int, page_size: int,
                        params: dict, cache: PagedKVCache, state: EngineState,
                        want_details: bool = True, mesh=None):
+    params = linops.prepare_params(params)
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
@@ -67,6 +69,8 @@ def _paged_decode_step(spec: DecoderSpec, eos_id: int, page_size: int,
 
 def _paged_decode_multi(spec, eos_id, page_size, num_steps,
                         params, cache, state, want_details=True, mesh=None):
+    params = linops.prepare_params(params)   # once, outside the scan
+
     def body(carry, _):
         cache, state = carry
         cache, state, packed = _paged_decode_step(
@@ -87,6 +91,7 @@ def _paged_ring_multi(spec: DecoderSpec, eos_id: int, page_size: int,
     inside the scan (Pallas kernel + flash-decoding merge with the ring,
     see paged_core.decode_paged_ring_step); ONE block-table scatter per
     chunk replaces the per-step full-pool copy."""
+    params = linops.prepare_params(params)
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)
@@ -136,6 +141,7 @@ def _paged_prefill_step(spec: DecoderSpec, eos_id: int, page_size: int,
                         ids: jax.Array, lengths: jax.Array, slots: jax.Array,
                         prefix_len: jax.Array,
                         prefix_embeds: Optional[jax.Array] = None):
+    # no prepare_params in prefill (see engine._prefill_step note)
     n, b = ids.shape
     t_max = state.history.shape[1]
     logits_all, cache = paged_core.prefill_paged(

@@ -488,8 +488,15 @@ FAMILIES: dict[str, tuple[Callable[[dict], DecoderSpec], Callable]] = {
 }
 
 
-def load_model(model_dir: str, dtype=jnp.bfloat16) -> tuple[DecoderSpec, dict]:
-    """Load (spec, params) for any supported decoder-only HF checkpoint."""
+def load_model(model_dir: str, dtype=jnp.bfloat16,
+               quantize: str | None = None) -> tuple[DecoderSpec, dict]:
+    """Load (spec, params) for any supported decoder-only HF checkpoint.
+
+    quantize="int8" quantizes every layer linear at load time (per-output
+    -channel absmax, the reference's bitsandbytes-int8 slot — no offline
+    artifact needed). GPTQ checkpoints are detected from their tensors and
+    need no flag.
+    """
     config = load_hf_config(model_dir)
     model_type = config.get("model_type")
     if model_type not in FAMILIES:
@@ -499,4 +506,8 @@ def load_model(model_dir: str, dtype=jnp.bfloat16) -> tuple[DecoderSpec, dict]:
     spec = spec_fn(config)
     weights = Weights(model_dir)
     params = load_fn(weights, spec, dtype)
+    if quantize == "int8":
+        from ..ops.quant.int8 import quantize_layer_params
+
+        params = quantize_layer_params(params)
     return spec, params

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.quant.int4 import Int4Weight
+from ..ops.quant.int8 import Int8Weight
 from .core import DecoderSpec
 
 
@@ -24,6 +25,8 @@ def _can_fuse(ws) -> bool:
     kinds = {type(w) for w in ws}
     if len(kinds) != 1:
         return False
+    if isinstance(ws[0], Int8Weight):
+        return all(w.q.shape[:-1] == ws[0].q.shape[:-1] for w in ws)
     if isinstance(ws[0], Int4Weight):
         if any(w.perm is not None for w in ws):
             return False
@@ -38,6 +41,10 @@ def _can_fuse(ws) -> bool:
 def _concat_out(ws):
     """Concatenate along the output axis (last dim; axis 2 with the layer
     stack in front)."""
+    if isinstance(ws[0], Int8Weight):
+        return Int8Weight(
+            q=jnp.concatenate([w.q for w in ws], axis=-1),
+            scale=jnp.concatenate([w.scale for w in ws], axis=-1))
     if isinstance(ws[0], Int4Weight):
         return Int4Weight(
             qweight=jnp.concatenate([w.qweight for w in ws], axis=-1),

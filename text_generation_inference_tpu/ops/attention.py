@@ -56,11 +56,14 @@ def decode_attention(q, k_cache, v_cache, context_len, bias, mask,
     """q [S, K, G, D]; caches [S, K, T, D]; returns [S, K, G, D]."""
     s, kh, g, d = q.shape
     t = k_cache.shape[2]
-    # measured on v5e: standalone the kernel beats einsum from T=1024, but
-    # inside the layer scan it acts as a fusion barrier and loses (3286 vs
-    # 2682 tok/s end-to-end at T=1024) — XLA overlaps the einsum's HBM reads
-    # with the surrounding matmuls. Keep it for long contexts where the
-    # dead-KV bandwidth saving dominates.
+    # This dispatch serves the "scan"/"post" write modes only; the default
+    # decode path is the RING scheme (models/core.decode_ring_step), which
+    # computes attention inline (einsum over the read-only cache + ring).
+    # Threshold rationale, measured on v5e: standalone the kernel beats the
+    # einsum from T=1024, but inside the layer scan it is a fusion barrier
+    # and loses end-to-end (3286 vs 2682 tok/s at T=1024) — XLA overlaps
+    # the einsum's HBM reads with the surrounding matmuls. At T >= 2048 the
+    # dead-KV DMA saving outweighs the barrier, so the kernel engages.
     if bias is None and _kernels_available() and t >= 2048 and d % 64 == 0:
         from .pallas.decode_attention import decode_attention as da
 

@@ -12,7 +12,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quant.int4 import Int4Weight, matmul_dequant
+import os
+
+from .quant.int4 import Int4Weight, matmul_dequant, populate_q4
+from .quant.int8 import Int8Weight, matmul_int8
 
 
 def _use_pallas() -> bool:
@@ -22,14 +25,24 @@ def _use_pallas() -> bool:
         return False
 
 
+def _native_s4() -> bool:
+    return os.getenv("INT4_NATIVE", "1").lower() not in ("0", "false")
+
+
 def matmul(x: jax.Array, w) -> jax.Array:
     """x @ w for dense or quantized w. x: [..., in] → [..., out]."""
+    if isinstance(w, Int8Weight):
+        return matmul_int8(x, w)
     if isinstance(w, Int4Weight):
         if w.perm is not None:
             x = jnp.take(x, w.perm, axis=-1)
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        if _use_pallas() and w.zbias is not None:
+        if _use_pallas() and w.q4 is not None:
+            from .pallas.int4_matmul import int4_matmul_s4
+
+            y = int4_matmul_s4(x2, w)
+        elif _use_pallas() and w.zbias is not None:
             from .pallas.int4_matmul import int4_matmul
 
             y = int4_matmul(x2, w)
@@ -39,5 +52,24 @@ def matmul(x: jax.Array, w) -> jax.Array:
     return jnp.dot(x, w)
 
 
+def prepare_params(params):
+    """Called INSIDE an engine step jit, before the layer scan: converts
+    packed Int4Weight leaves to the native-s4 representation consumed by
+    int4_matmul_s4 (~12x faster than the packed kernel). The unpack
+    relayout runs once per dispatch — amortized over the whole decode
+    chunk — instead of once per matmul. Persistent storage stays 4-bit
+    packed: s4 arrays cannot cross jit boundaries on every backend."""
+    if not (_use_pallas() and _native_s4()):
+        return params
+
+    def conv(leaf):
+        if isinstance(leaf, Int4Weight) and leaf.qweight is not None                 and leaf.zbias is not None:
+            return populate_q4(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(
+        conv, params, is_leaf=lambda x: isinstance(x, Int4Weight))
+
+
 def is_quantized(w) -> bool:
-    return isinstance(w, Int4Weight)
+    return isinstance(w, (Int4Weight, Int8Weight))

@@ -39,14 +39,24 @@ class Int4Weight(NamedTuple):
     # precomputed (zero+1)*scale [groups, out] f32 for the fused TPU kernel
     # (ops/pallas/int4_matmul.py); populated by compute_zbias().
     zbias: jax.Array | None = None
+    # NATIVE s4 representation [in, out] jnp.int4 holding q - 8 (signed):
+    # Mosaic reads s4 arrays directly with no manual nibble unpack, which
+    # is ~12x faster than the int32-packed kernel (the unpack's
+    # [in/8, 8, out] -> [in, out] reshape crosses sublanes — a relayout).
+    # Populated by populate_q4(); qweight/qzeros are dropped then to free
+    # HBM. Dequant: w = q4 * scale - (zbias - 8 * scale).
+    q4: jax.Array | None = None
 
     @property
     def in_features(self) -> int:
-        return self.qweight.shape[0] * 8
+        if self.qweight is not None:
+            return self.qweight.shape[-2] * 8
+        return self.q4.shape[-2]
 
     @property
     def out_features(self) -> int:
-        return self.qweight.shape[1]
+        return (self.qweight if self.qweight is not None
+                else self.q4).shape[-1]
 
 
 def compute_zbias(w: Int4Weight) -> Int4Weight:
@@ -82,6 +92,32 @@ def normalize_act_order(qweight: np.ndarray, qzeros: np.ndarray,
         perm=jnp.asarray(perm, jnp.int32)))
 
 
+def populate_q4(w: Int4Weight) -> Int4Weight:
+    """Convert to the native-s4 representation (see Int4Weight.q4); the
+    packed qweight/qzeros are dropped to free their HBM. Requires zbias
+    (compute_zbias) — every loader/quantizer populates it."""
+    assert w.zbias is not None, "populate_q4 requires zbias"
+
+    def one(qw):
+        q = unpack_rows(qw) - 8                   # center into s4 range
+        return q.astype(jnp.int8).astype(jnp.int4)
+
+    if w.qweight.ndim == 3:                       # stacked layers [L, ...]
+        q4 = jnp.stack([one(w.qweight[i])
+                        for i in range(w.qweight.shape[0])])
+    else:
+        q4 = one(w.qweight)
+    return w._replace(q4=q4, qweight=None, qzeros=None)
+
+
+def dequantize_s4(w: Int4Weight, dtype=jnp.bfloat16) -> jax.Array:
+    """Full-precision [in, out] weight from the native-s4 representation."""
+    s = jnp.take(w.scales.astype(jnp.float32), w.g_idx, axis=0)
+    zb4 = w.zbias.astype(jnp.float32) - 8.0 * w.scales.astype(jnp.float32)
+    z = jnp.take(zb4, w.g_idx, axis=0)
+    return (w.q4.astype(jnp.float32) * s - z).astype(dtype)
+
+
 def unpack_rows(packed: jax.Array) -> jax.Array:
     """[n/8, m] int32 → [n, m] int32 of 4-bit values (row-packed)."""
     shifts = (4 * jnp.arange(8, dtype=jnp.int32))[None, :, None]
@@ -109,6 +145,8 @@ def dequantize(w: Int4Weight, dtype=jnp.bfloat16) -> jax.Array:
 def matmul_dequant(x: jax.Array, w: Int4Weight) -> jax.Array:
     """x @ dequant(w) — the XLA fallback (the Pallas fused kernel is in
     ops/pallas/int4_matmul.py)."""
+    if w.q4 is not None:
+        return jnp.dot(x, dequantize_s4(w, x.dtype))
     return jnp.dot(x, dequantize(w, x.dtype))
 
 

@@ -82,7 +82,9 @@ def build_engine(config: ServingConfig):
         engine = Seq2SeqEngine(spec, params, config, eos_token_id=eos)
         return engine, tokenizer, "encoder_decoder"
 
-    spec, params = families.load_model(config.model_name, dtype=dtype)
+    spec, params = families.load_model(
+        config.model_name, dtype=dtype,
+        quantize=config.quantize if config.quantize == "int8" else None)
     # tensor parallelism: shard over all local (or TENSOR_PARALLEL) devices
     mesh = None
     n_dev = len(jax.devices())
