@@ -100,7 +100,19 @@ def main():
     on_tpu = dev.platform != "cpu"
     model_kind = _os.environ.get("BENCH_MODEL", "tinyllama")
 
-    if on_tpu and model_kind == "llama7b-int4":
+    if on_tpu and model_kind == "llama7b-int8":
+        # Llama-2-7B shape, INT8 weight-only (the bitsandbytes-slot path)
+        spec = DecoderSpec(
+            vocab_size=32000, hidden_size=4096, num_layers=32,
+            num_heads=32, num_kv_heads=32, head_dim=128,
+            intermediate_size=11008, pos="rope", norm="rmsnorm",
+            activation="silu_glu", norm_eps=1e-5)
+        num_slots = int(_os.environ.get("BENCH_SLOTS", "16"))
+        max_seq, dtype = 512, jnp.bfloat16
+        steps, warmup = 64, 32
+        hbm_bw = 819e9
+        decode_chunk = int(_os.environ.get("DECODE_CHUNK", "32"))
+    elif on_tpu and model_kind == "llama7b-int4":
         # Llama-2-7B shape, GPTQ INT4 weights (BASELINE.md ladder step 3)
         spec = DecoderSpec(
             vocab_size=32000, hidden_size=4096, num_layers=32,
@@ -137,6 +149,40 @@ def main():
 
     if model_kind == "llama7b-int4" and on_tpu:
         params = _init_int4_params(spec, jax.random.key(0), dtype)
+    elif model_kind == "llama7b-int8" and on_tpu:
+        # random int8 weights built directly (a dense 7B bf16 tree would
+        # transiently OOM before quantization)
+        from text_generation_inference_tpu.ops.quant.int8 import Int8Weight
+
+        rng = np.random.default_rng(0)
+        L, D, F = spec.num_layers, spec.hidden_size, spec.intermediate_size
+        H, K, Dh = spec.num_heads, spec.num_kv_heads, spec.head_dim
+
+        def q8(in_f, out_f):
+            return Int8Weight(
+                q=jnp.asarray(rng.integers(-127, 128, size=(L, in_f, out_f),
+                                           dtype=np.int64).astype(np.int8)),
+                scale=jnp.asarray(rng.uniform(
+                    0.001, 0.01, size=(L, out_f)).astype(np.float32)))
+
+        params = {
+            "embed_tokens": jnp.asarray(
+                rng.normal(scale=0.02, size=(32000, D)), dtype),
+            "layers": {
+                "ln1": {"scale": jnp.ones((L, D), dtype)},
+                "ln2": {"scale": jnp.ones((L, D), dtype)},
+                "wq": q8(D, H * Dh),
+                "wk": q8(D, K * Dh),
+                "wv": q8(D, K * Dh),
+                "wo": q8(H * Dh, D),
+                "w_gate": q8(D, F),
+                "w_up": q8(D, F),
+                "w_down": q8(F, D),
+            },
+            "final_norm": {"scale": jnp.ones((D,), dtype)},
+            "lm_head": jnp.asarray(
+                rng.normal(scale=0.02, size=(D, 32000)), dtype),
+        }
     else:
         params = core.init_params(spec, jax.random.key(0), dtype=dtype)
     config = ServingConfig(

@@ -132,6 +132,52 @@ def _s2s_decode_multi(spec: T5Spec, eos_id: int, num_steps: int,
     return dstate, state, packed_seq
 
 
+def _s2s_ring_multi(spec: T5Spec, eos_id: int, num_steps: int,
+                    params: dict, dstate: T5DecodeState, state: EngineState):
+    """Ring-buffer chunk decode for the seq2seq engine: decoder self-KV
+    slabs are read-only inside the scan (in-chunk tokens live in ring
+    buffers, one scatter per chunk — t5.decoder_ring_step /
+    ring_flush_self_kv), eliminating the per-step full-slab copy exactly
+    like the decoder-only ring path."""
+    s, t_max = state.history.shape
+    rows = jnp.arange(s)
+    chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)
+    dtype = dstate.self_k.dtype
+    L = spec.num_decoder_layers
+    kbuf = jnp.zeros((L, s, spec.num_heads, num_steps, spec.d_kv), dtype)
+    vbuf = jnp.zeros_like(kbuf)
+
+    def body(carry, i):
+        kbuf, vbuf, state = carry
+        pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
+        ids = state.history[rows, pos]
+        logits, k_all, v_all = t5.decoder_ring_step(
+            spec, params, ids, pos, dstate, kbuf, vbuf, i, chunk_start)
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, k_all[:, :, :, None, :].astype(dtype), (0, 0, 0, i, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, v_all[:, :, :, None, :].astype(dtype), (0, 0, 0, i, 0))
+        next_ids, details = sampling.next_tokens(
+            logits, state.params, state.gen_count, state.history,
+            state.history_len, eos_id, history_start=state.hist_start)
+        active = state.active
+        write_pos = jnp.clip(state.history_len, 0, t_max - 1)
+        new_hist = state.history.at[rows, write_pos].set(
+            jnp.where(active, next_ids, state.history[rows, write_pos]))
+        state = state._replace(
+            history=new_hist,
+            history_len=state.history_len + active.astype(jnp.int32),
+            gen_count=state.gen_count + active.astype(jnp.int32),
+        )
+        return (kbuf, vbuf, state), sampling.pack_step_outputs(next_ids,
+                                                               details)
+
+    (kbuf, vbuf, state), packed_seq = jax.lax.scan(
+        body, (kbuf, vbuf, state), jnp.arange(num_steps, dtype=jnp.int32))
+    dstate = t5.ring_flush_self_kv(dstate, kbuf, vbuf, chunk_start)
+    return dstate, state, packed_seq
+
+
 class Seq2SeqEngine:
     """Same surface as InferenceEngine, backed by an encoder-decoder model."""
 
@@ -163,6 +209,11 @@ class Seq2SeqEngine:
         if self.decode_chunk == 1:
             self._decode_fn = jax.jit(
                 partial(_s2s_decode_step, spec, eos_token_id),
+                donate_argnums=(1, 2))
+        elif config.decode_write_mode == "ring":
+            self._decode_fn = jax.jit(
+                partial(_s2s_ring_multi, spec, eos_token_id,
+                        self.decode_chunk),
                 donate_argnums=(1, 2))
         else:
             self._decode_fn = jax.jit(

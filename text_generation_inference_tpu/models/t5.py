@@ -328,6 +328,114 @@ def decoder_step(
     return logits, state._replace(self_k=nsk, self_v=nsv)
 
 
+def decoder_ring_step(
+    spec: T5Spec, params: dict,
+    ids: jax.Array,          # [S] last decoder token per slot
+    positions: jax.Array,    # [S] decoder position ids[s] will occupy
+    state: T5DecodeState,    # self-KV READ-ONLY this chunk
+    kbuf: jax.Array,         # [L, S, H, C, Dkv] in-chunk keys (cols < step_idx)
+    vbuf: jax.Array,         # [L, S, H, C, Dkv]
+    step_idx: jax.Array,     # scalar i32
+    chunk_start: jax.Array,  # [S] positions at chunk entry
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Ring-buffer decoder step (the seq2seq counterpart of
+    core.decode_ring_step): self-KV slabs are never written inside a decode
+    chunk — in-chunk tokens live in ring buffers, ONE scatter per chunk
+    (Seq2SeqEngine) replaces the per-step full-slab copy. Cross-KV is
+    naturally read-only (written once at prefill).
+
+    Returns (logits [S, V] f32, k_all [L, S, H, Dkv], v_all likewise).
+    """
+    s = ids.shape[0]
+    t_dec = state.self_k.shape[3]
+    t_enc = state.cross_k.shape[3]
+    n_buf = kbuf.shape[3]
+    x = jnp.take(params["shared_embed"], ids, axis=0)     # [S, D]
+
+    dec_pos = jnp.arange(t_dec, dtype=jnp.int32)
+    # cache part: only pre-chunk positions are valid
+    cache_mask = (dec_pos[None, :] < chunk_start[:, None])[:, None, :]
+    cache_bias = _position_bias(
+        params["dec_rel_bias"], positions[:, None], dec_pos[None, :],
+        False, spec.rel_buckets, spec.rel_max_distance)[:, :, 0, :]  # [S,H,T]
+    # ring part: col c holds position chunk_start + c
+    buf_pos = chunk_start[:, None] + jnp.arange(n_buf, dtype=jnp.int32)[None]
+    buf_mask = (jnp.arange(n_buf, dtype=jnp.int32)[None, :]
+                < step_idx)[:, None, :]                                # [1,1,C]
+    buf_bias = _position_bias(
+        params["dec_rel_bias"], positions[:, None], buf_pos,
+        False, spec.rel_buckets, spec.rel_max_distance)[:, :, 0, :]  # [S,H,C]
+    # current token: relative distance 0
+    new_bias = _position_bias(
+        params["dec_rel_bias"], positions[:, None], positions[:, None],
+        False, spec.rel_buckets, spec.rel_max_distance)[:, :, 0, :]  # [S,H,1]
+
+    enc_pos = jnp.arange(t_enc, dtype=jnp.int32)
+    cross_mask = (enc_pos[None, :] < state.enc_len[:, None])[:, None, None, :]
+
+    def layer(x, inputs):
+        lp, sk, sv, ck, cv, kb, vb = inputs   # sk/sv/kb/vb READ-ONLY
+        h = _t5_norm(lp["ln1"], x, spec.norm_eps)
+        q, k, v = _proj_qkv(lp, h, spec.num_heads, spec.d_kv, "sa")  # [S,H,D]
+        # cache scores [S, H, Tdec]
+        scores = jnp.einsum("shd,shtd->sht", q, sk,
+                            preferred_element_type=jnp.float32) + cache_bias
+        scores = jnp.where(cache_mask, scores, -jnp.inf)
+        # ring scores [S, H, C]
+        bscores = jnp.einsum("shd,shcd->shc", q, kb,
+                             preferred_element_type=jnp.float32) + buf_bias
+        bscores = jnp.where(buf_mask, bscores, -jnp.inf)
+        # current token [S, H, 1]
+        score_new = jnp.sum(
+            q.astype(jnp.float32) * k.astype(jnp.float32), axis=-1,
+            keepdims=True) + new_bias
+        all_scores = jnp.concatenate([scores, bscores, score_new], axis=-1)
+        probs = jax.nn.softmax(all_scores, axis=-1).astype(sv.dtype)
+        attn = jnp.einsum("sht,shtd->shd", probs[..., :t_dec], sv)             + jnp.einsum("shc,shcd->shd",
+                         probs[..., t_dec:t_dec + n_buf], vb)             + probs[..., t_dec + n_buf:] * v
+        x = x + jnp.dot(attn.reshape(s, spec.inner_dim), lp["sa_o"])
+
+        h = _t5_norm(lp["ln_x"], x, spec.norm_eps)
+        qx = jnp.dot(h, lp["xa_q"]).reshape(s, 1, spec.num_heads, spec.d_kv)
+        xattn = _attention(qx, ck.transpose(0, 2, 1, 3),
+                           cv.transpose(0, 2, 1, 3), None, cross_mask)
+        x = x + jnp.dot(xattn.reshape(s, spec.inner_dim), lp["xa_o"])
+
+        h = _t5_norm(lp["ln2"], x, spec.norm_eps)
+        x = x + _mlp(spec, lp, h)
+        return x, (k, v)
+
+    x, (k_all, v_all) = jax.lax.scan(
+        layer, x,
+        (params["decoder_layers"], state.self_k, state.self_v,
+         state.cross_k, state.cross_v, kbuf, vbuf))
+    x = _t5_norm(params["dec_final_norm"], x, spec.norm_eps)
+    logits = _unembed(spec, params, x)
+    return logits, k_all, v_all
+
+
+def ring_flush_self_kv(state: T5DecodeState, kbuf: jax.Array,
+                       vbuf: jax.Array, chunk_start: jax.Array
+                       ) -> T5DecodeState:
+    """Scatter a chunk's decoder self-KV ring into the slabs: col c of slot
+    s lands at position chunk_start[s] + c (OOB dropped). Slot rows are
+    private, so no active-masking is needed (cf. paged_ring_flush)."""
+    n_buf = kbuf.shape[3]
+    s = kbuf.shape[1]
+    t_dec = state.self_k.shape[3]
+    rows = jnp.arange(s)
+    wpos = chunk_start[None, :] + jnp.arange(n_buf, dtype=jnp.int32)[:, None]
+    wpos = jnp.where(wpos < t_dec, wpos, t_dec)                  # drop OOB
+    idx_rows = jnp.broadcast_to(rows[None, :], (n_buf, s))
+    # slabs [L, S, H, T, D]; advanced (C, S) at axes 1, 3 -> front:
+    # update region [C, S, L, H, D]
+    new_k = state.self_k.at[:, idx_rows, :, wpos, :].set(
+        kbuf.transpose(3, 1, 0, 2, 4).astype(state.self_k.dtype), mode="drop")
+    new_v = state.self_v.at[:, idx_rows, :, wpos, :].set(
+        vbuf.transpose(3, 1, 0, 2, 4).astype(state.self_v.dtype), mode="drop")
+    return state._replace(self_k=new_k, self_v=new_v)
+
+
 def _unembed(spec: T5Spec, params: dict, x: jax.Array) -> jax.Array:
     if spec.tie_word_embeddings:
         x = x * (spec.d_model ** -0.5)
