@@ -164,6 +164,10 @@ class SpeculativeEngine(InferenceEngine):
         self._spec_prefill_fns = {}
         self.accepted_histogram = np.zeros(self.sspec.n_predict + 2, np.int64)
 
+    def reset(self) -> None:
+        super().reset()
+        self.spec_hidden = jnp.zeros_like(self.spec_hidden)
+
     def prefill(self, slots, token_ids, request_params,
                 want_prompt_details=False, prefix_embeds=None):
         # speculative engine keeps its own prefill (hidden-state capture);
