@@ -352,6 +352,95 @@ def _ringbuf3_chunk(params, cache, state):
     return KVCache(k=new_k, v=new_v), state, ids_seq
 
 
+def _ring_ctx_chunk(read_rows, params, cache, state):
+    """ringbuf3 with the cache READ sliced to the first `read_rows` rows
+    once per chunk (the slice is a copy, amortized over CHUNK steps); the
+    chunk-end scatter still hits the full cache. Valid when every active
+    slot's context fits in read_rows."""
+    from text_generation_inference_tpu.models.core import KVCache as KVC
+
+    read_cache = KVC(
+        k=jax.lax.slice_in_dim(cache.k, 0, read_rows, axis=3),
+        v=jax.lax.slice_in_dim(cache.v, 0, read_rows, axis=3))
+    s, t_max = state.history.shape
+    L = spec.num_layers
+    kbuf = jnp.zeros((L, s, spec.num_kv_heads, CHUNK, spec.head_dim),
+                     cache.k.dtype)
+    vbuf = jnp.zeros_like(kbuf)
+    start_pos = jnp.clip(state.history_len - 1, 0, t_max - 1)  # [S]
+    scale = 1.0 / (spec.head_dim ** 0.5)
+    group = spec.num_heads // spec.num_kv_heads
+    rows = jnp.arange(s)
+    key_pos = jnp.arange(read_rows, dtype=jnp.int32)
+    cache_mask = key_pos[None, :] < start_pos[:, None]
+
+    def step(carry, i):
+        kbuf, vbuf, state = carry
+        pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
+        ids = state.history[rows, pos]
+        x = core._embed(spec, params, ids, pos)
+        cos, sin = core._rope_freqs(spec, pos)
+        buf_mask = jnp.arange(CHUNK)[None, :] < i               # [1, C]
+
+        def layer(x, inputs):
+            lp, ck, cv, kb, vb = inputs
+            h = core._norm(spec, lp["ln1"], x)
+            q, k, v = core._qkv(spec, lp, h)
+            q = core._apply_rope(spec, q, cos, sin)
+            k = core._apply_rope(spec, k, cos, sin)
+            qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
+            scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
+                                preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(cache_mask[:, None, None, :], scores, -jnp.inf)
+            bscores = jnp.einsum("skgd,skcd->skgc", qg, kb,
+                                 preferred_element_type=jnp.float32) * scale
+            bscores = jnp.where(buf_mask[:, None, None, :], bscores, -jnp.inf)
+            score_new = jnp.sum(
+                qg.astype(jnp.float32) * k[:, :, None, :].astype(jnp.float32),
+                axis=-1) * scale
+            all_scores = jnp.concatenate(
+                [scores, bscores, score_new[..., None]], axis=-1)
+            probs = jax.nn.softmax(all_scores, axis=-1).astype(cv.dtype)
+            attn = jnp.einsum("skgt,sktd->skgd", probs[..., :read_rows], cv) \
+                + jnp.einsum("skgc,skcd->skgd",
+                             probs[..., read_rows:read_rows + CHUNK], vb) \
+                + probs[..., read_rows + CHUNK:] * v[:, :, None, :]
+            attn = attn.reshape(s, spec.num_heads, spec.head_dim)
+            attn = core._attn_out(spec, lp, attn)
+            x = x + attn
+            h2 = core._norm(spec, lp["ln2"], x)
+            x = x + core._mlp(spec, lp, h2)
+            return x, (k, v)
+
+        x, (k_all, v_all) = jax.lax.scan(
+            layer, x, (params["layers"], read_cache.k, read_cache.v,
+                       kbuf, vbuf))
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, k_all[:, :, :, None, :].astype(kbuf.dtype), (0, 0, 0, i, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, v_all[:, :, :, None, :].astype(vbuf.dtype), (0, 0, 0, i, 0))
+        x = core._norm(spec, params["final_norm"], x)
+        logits = core._unembed(spec, params, x)
+        next_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        new_hist = state.history.at[rows, state.history_len].set(
+            next_ids, mode="drop")
+        state = state._replace(history=new_hist,
+                               history_len=state.history_len + 1)
+        return (kbuf, vbuf, state), next_ids
+
+    (kbuf, vbuf, state), ids_seq = jax.lax.scan(
+        step, (kbuf, vbuf, state), jnp.arange(CHUNK))
+    wpos = start_pos[None, :] + jnp.arange(CHUNK)[:, None]       # [C, S]
+    wpos = jnp.where(wpos < t_max, wpos, t_max)                  # drop OOB
+    new_k = cache.k.at[:, jnp.broadcast_to(rows[None, :], (CHUNK, s)), :,
+                       wpos, :].set(
+        kbuf.transpose(3, 1, 0, 2, 4).astype(cache.k.dtype), mode="drop")
+    new_v = cache.v.at[:, jnp.broadcast_to(rows[None, :], (CHUNK, s)), :,
+                       wpos, :].set(
+        vbuf.transpose(3, 1, 0, 2, 4).astype(cache.v.dtype), mode="drop")
+    return KVCache(k=new_k, v=new_v), state, ids_seq
+
+
 def build(variant):
     eos = 2
 
@@ -359,6 +448,10 @@ def build(variant):
         return jax.jit(_ringbuf2_chunk, donate_argnums=(1, 2)), "ringbuf2"
     if variant == "ringbuf3":
         return jax.jit(_ringbuf3_chunk, donate_argnums=(1, 2)), "ringbuf3"
+    if variant.startswith("ring_ctx"):
+        rr = int(variant[8:])
+        return jax.jit(partial(_ring_ctx_chunk, rr),
+                       donate_argnums=(1, 2)), variant
 
     if variant == "full":
         from text_generation_inference_tpu.engine.engine import _decode_multi

@@ -262,3 +262,73 @@ class TestWriteModeParity:
         for mode in ("ring", "scan"):
             got = self._staggered_run(self._build(model_dir, mode, 4))
             assert got == ref, f"{mode} diverged from post on {fixture}"
+
+
+class TestCtxBuckets:
+    """Ring decode with context buckets (cache READ sliced to the smallest
+    bucket covering every live slot) must produce identical streams to the
+    full-cache read, across bucket-crossing chunks, staggered admission,
+    and frees."""
+
+    def _build(self, model_dir, ctx_buckets, chunk=4):
+        spec, params = families.load_model(model_dir, dtype=jnp.float32)
+        cfg = ServingConfig(
+            max_sequence_length=64, max_new_tokens=32, max_batch_slots=3,
+            prefill_buckets=[8, 16], decode_chunk=chunk,
+            decode_write_mode="ring", decode_ctx_buckets=ctx_buckets)
+        cfg.validate()
+        return InferenceEngine(spec, params, cfg, eos_token_id=2)
+
+    def _run(self, engine, n_chunks=6):
+        """Two staggered requests; ctx crosses the 16-bucket mid-stream."""
+        out = {}
+        sa = engine.acquire_slot()
+        res = engine.prefill([sa], [PROMPTS[0]], [RequestParams()])
+        out["a"] = [int(res.first_token.next_ids[0])]
+        for step in engine.decode_steps():
+            out["a"].append(int(step.next_ids[sa]))
+        sb = engine.acquire_slot()
+        res = engine.prefill([sb], [PROMPTS[1]], [RequestParams()])
+        out["b"] = [int(res.first_token.next_ids[0])]
+        for _ in range(n_chunks):
+            for step in engine.decode_steps():
+                out["a"].append(int(step.next_ids[sa]))
+                out["b"].append(int(step.next_ids[sb]))
+        engine.free(sa)
+        sc = engine.acquire_slot()
+        res = engine.prefill([sc], [PROMPTS[2]], [RequestParams()])
+        out["c"] = [int(res.first_token.next_ids[0])]
+        for step in engine.decode_steps():
+            out["b"].append(int(step.next_ids[sb]))
+            out["c"].append(int(step.next_ids[sc]))
+        return out
+
+    def test_bucketed_matches_full(self):
+        model_dir = fixtures.tiny_llama()
+        ref = self._run(self._build(model_dir, [64]))
+        got = self._run(self._build(model_dir, [8, 16, 32, 64]))
+        assert got == ref
+
+    def test_bucket_pick_tracks_live_contexts(self):
+        model_dir = fixtures.tiny_llama()
+        engine = self._build(model_dir, [8, 16, 32, 64])
+        assert engine._pick_cache_rows() == 8          # empty engine
+        sa = engine.acquire_slot()
+        engine.prefill([sa], [PROMPTS[1]], [RequestParams()])  # len 7 -> hist 8
+        assert engine._pick_cache_rows() == 8
+        engine.decode_steps()                          # hist 8 -> 12
+        assert engine._pick_cache_rows() == 16
+        for _ in range(2):
+            engine.decode_steps()                      # hist -> 20
+        assert engine._pick_cache_rows() == 32
+        engine.free(sa)
+        engine.decode_steps()                          # drains the free
+        assert engine._pick_cache_rows() == 8
+
+    def test_default_ladder_caps_at_max_seq(self):
+        cfg = ServingConfig(max_sequence_length=1024, max_new_tokens=512)
+        cfg.validate()
+        assert cfg.decode_ctx_buckets == [256, 512, 1024]
+        cfg2 = ServingConfig(max_sequence_length=64, max_new_tokens=32)
+        cfg2.validate()
+        assert cfg2.decode_ctx_buckets == [64]

@@ -90,6 +90,13 @@ class ServingConfig:
                                               # (fastest, models/core.py)
     prefill_buckets: list[int] = field(
         default_factory=lambda: list(_DEFAULT_PREFILL_BUCKETS))
+    decode_ctx_buckets: list[int] | None = None
+                                              # context buckets for ring
+                                              # decode: each chunk reads only
+                                              # the smallest bucket covering
+                                              # every live context (dead-KV
+                                              # DMA skipped); None = derive
+                                              # 256,512,... up to max_seq
     kv_page_size: int = 128                   # tokens per KV page (paged cache)
     hbm_memory_fraction: float = 0.9          # cap of free HBM given to KV
     batch_safety_margin: float = 0.2          # reference default 20%
@@ -137,6 +144,9 @@ class ServingConfig:
             fuse_matmuls=_env_bool("FUSE_MATMULS", True),
             decode_write_mode=_env_str("DECODE_WRITE_MODE", "ring"),
             prefill_buckets=_env_int_list("PREFILL_BUCKETS", _DEFAULT_PREFILL_BUCKETS),
+            decode_ctx_buckets=(
+                _env_int_list("DECODE_CTX_BUCKETS", [])
+                if os.getenv("DECODE_CTX_BUCKETS") else None),
             kv_page_size=_env_int("KV_PAGE_SIZE", 128),
             hbm_memory_fraction=_env_float("HBM_MEMORY_FRACTION", 0.9),
             batch_safety_margin=_env_float("BATCH_SAFETY_MARGIN", 0.2),
@@ -168,6 +178,24 @@ class ServingConfig:
         self.prefill_buckets = sorted(set(self.prefill_buckets))
         if self.prefill_buckets[-1] < self.max_sequence_length:
             self.prefill_buckets.append(self.max_sequence_length)
+        if self.decode_ctx_buckets is None:
+            # derive the ring-decode context ladder: 256, 512, 1024, ...
+            # capped by max_seq (one compiled decode program per bucket ×
+            # details-variant; 256 keeps the program count small while the
+            # sub-256 regime is already near the compute floor)
+            ladder, b = [], 256
+            while b < self.max_sequence_length:
+                ladder.append(b)
+                b *= 2
+            ladder.append(self.max_sequence_length)
+            self.decode_ctx_buckets = ladder
+        else:
+            self.decode_ctx_buckets = sorted(
+                {min(b, self.max_sequence_length)
+                 for b in self.decode_ctx_buckets if b > 0})
+            if (not self.decode_ctx_buckets
+                    or self.decode_ctx_buckets[-1] < self.max_sequence_length):
+                self.decode_ctx_buckets.append(self.max_sequence_length)
         if not 0.0 <= self.max_prefill_padding <= 1.0:
             raise ValueError("max_prefill_padding must be in [0, 1]")
         if self.max_batch_slots < 1:

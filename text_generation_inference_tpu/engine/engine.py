@@ -163,15 +163,30 @@ def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
 
 def _decode_ring_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
                        params: dict, cache: KVCache, state: EngineState,
-                       want_details: bool = True):
+                       want_details: bool = True,
+                       cache_rows: Optional[int] = None):
     """`num_steps` decode iterations with a per-chunk KV ring buffer and a
     single cache scatter at chunk end (see core.decode_ring_step). The
     fastest decode path: the cache slabs are read-only inside the scan, so
-    XLA neither carries nor copies them per step."""
+    XLA neither carries nor copies them per step.
+
+    `cache_rows` (static) slices the READ side of the cache to its first
+    `cache_rows` positions — one copy per chunk, amortized over the scan —
+    so attention stops streaming dead KV rows each step. Correct whenever
+    every active slot's context at chunk entry fits in `cache_rows` (the
+    engine picks the smallest configured bucket that covers the live
+    maximum; in-chunk tokens live in the ring buffer, not the cache). The
+    chunk-end scatter still targets the full cache."""
     params = linops.prepare_params(params)
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)   # [S]
+    if cache_rows is not None and cache_rows < t_max:
+        read_cache = KVCache(
+            k=jax.lax.slice_in_dim(cache.k, 0, cache_rows, axis=3),
+            v=jax.lax.slice_in_dim(cache.v, 0, cache_rows, axis=3))
+    else:
+        read_cache = cache
     cache_dtype = cache.k.dtype
     kbuf = jnp.zeros((spec.num_layers, s, spec.num_kv_heads, num_steps,
                       spec.head_dim), cache_dtype)
@@ -182,7 +197,7 @@ def _decode_ring_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
         pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
         ids = state.history[rows, pos]
         logits, k_all, v_all = core.decode_ring_step(
-            spec, params, ids, pos, cache, kbuf, vbuf, i, chunk_start)
+            spec, params, ids, pos, read_cache, kbuf, vbuf, i, chunk_start)
         kbuf = jax.lax.dynamic_update_slice(
             kbuf, k_all[:, :, :, None, :].astype(cache_dtype), (0, 0, 0, i, 0))
         vbuf = jax.lax.dynamic_update_slice(
@@ -317,10 +332,17 @@ class InferenceEngine:
 
         self.decode_chunk = max(1, config.decode_chunk)
         self._write_mode = config.decode_write_mode
-        # decode programs are compiled per want_details variant: the
+        # host mirror of each slot's history_len (0 = slot free), kept so
+        # the ring decode can pick a context bucket without a device fetch.
+        # Mutated only on the engine-call thread (prefill / decode_steps /
+        # _apply_pending_frees), so no locking beyond _free_lock is needed.
+        self._slot_ctx = np.zeros(self.num_slots, np.int32)
+        self._warmup_rows: Optional[int] = None
+        # decode programs are compiled per (want_details, cache_rows): the
         # no-details path skips log_softmax/top-k/rank entirely (the
-        # reference likewise computes logprobs/top-n only when requested)
-        self._decode_fns: dict[bool, Any] = {}
+        # reference likewise computes logprobs/top-n only when requested);
+        # cache_rows variants read only a context-bucket prefix of the cache
+        self._decode_fns: dict[tuple[bool, Optional[int]], Any] = {}
         self._prefill_fns: dict[tuple[int, int, bool], Any] = {}
         self.last_forward_ns: int = 0
 
@@ -344,6 +366,7 @@ class InferenceEngine:
         self.free_slots = list(range(self.num_slots))
         with self._free_lock:
             self._pending_frees.clear()
+        self._slot_ctx[:] = 0
         logger.warning("engine device state reset (all slots cleared)")
 
     @property
@@ -364,6 +387,7 @@ class InferenceEngine:
         with self._free_lock:
             pending, self._pending_frees = self._pending_frees, []
         if pending:
+            self._slot_ctx[np.asarray(pending)] = 0
             slots = jnp.asarray(pending, jnp.int32)
             self.state = self.state._replace(
                 active=self.state.active.at[slots].set(False))
@@ -449,6 +473,7 @@ class InferenceEngine:
             step = StepResult(*sampling.unpack_step_outputs(packed))
         except Exception as e:
             raise EngineDeviceError(f"prefill step failed: {e}") from e
+        self._slot_ctx[np.asarray(slots)] = lengths + 1   # history incl. first token
         self.last_forward_ns = time.monotonic_ns() - t0
 
         prompt_details = None
@@ -494,12 +519,18 @@ class InferenceEngine:
                     self.prefill(slots, ids, [RequestParams()] * n,
                                  want_prompt_details=variant)
                     n_compiles += 1
-        for want_details in (False, True):
-            self.decode_steps(want_details=want_details)
-            n_compiles += 1
+        try:
+            for rows in self._ctx_bucket_grid():
+                self._warmup_rows = rows
+                for want_details in (False, True):
+                    self.decode_steps(want_details=want_details)
+                    n_compiles += 1
+        finally:
+            self._warmup_rows = None
         # reset slot state polluted by the dummy prefills
         self.state = EngineState.create(self.num_slots, self.max_seq)
         self.free_slots = list(range(self.num_slots))
+        self._slot_ctx[:] = 0
         logger.info("warmup compiled %d programs in %.1fs",
                     n_compiles, time.monotonic() - t0)
 
@@ -507,8 +538,32 @@ class InferenceEngine:
         """One decode step across all slots (inactive slots masked)."""
         return self.decode_steps()[0]
 
-    def _get_decode_fn(self, want_details: bool):
-        fn = self._decode_fns.get(want_details)
+    def _ctx_bucket_grid(self) -> list[int]:
+        """Distinct cache_rows values decode may compile (ring mode only)."""
+        if self._write_mode != "ring" or self.decode_chunk == 1:
+            return [self.max_seq]
+        return sorted({min(b, self.max_seq)
+                       for b in (self.config.decode_ctx_buckets
+                                 or [self.max_seq])})
+
+    def _pick_cache_rows(self) -> int:
+        """Smallest configured context bucket covering every live slot's
+        history (host mirror — no device fetch). Slots freed while a
+        pipelined chunk is in flight may briefly read past the bucket on
+        device; their outputs are discarded, so that is harmless."""
+        if self._warmup_rows is not None:
+            return self._warmup_rows
+        if self._write_mode != "ring" or self.decode_chunk == 1:
+            return self.max_seq
+        need = int(self._slot_ctx.max(initial=0))
+        for b in self._ctx_bucket_grid():
+            if b >= need:
+                return b
+        return self.max_seq
+
+    def _get_decode_fn(self, want_details: bool, cache_rows: int):
+        key = (want_details, cache_rows)
+        fn = self._decode_fns.get(key)
         if fn is None:
             write_mode = self._write_mode
             if self.decode_chunk == 1:
@@ -522,7 +577,8 @@ class InferenceEngine:
             elif write_mode == "ring":
                 fn = jax.jit(
                     partial(_decode_ring_multi, self.spec, self.eos_token_id,
-                            self.decode_chunk, want_details=want_details),
+                            self.decode_chunk, want_details=want_details,
+                            cache_rows=cache_rows),
                     donate_argnums=(1, 2))
             else:
                 fn = jax.jit(
@@ -530,20 +586,25 @@ class InferenceEngine:
                             self.decode_chunk, write_mode=write_mode,
                             want_details=want_details),
                     donate_argnums=(1, 2))
-            self._decode_fns[want_details] = fn
+            self._decode_fns[key] = fn
         return fn
 
     def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         """`decode_chunk` decode steps in one dispatch + one host fetch."""
         self.last_n_emitted = None   # every step row is valid for every slot
         self._apply_pending_frees()
+        cache_rows = self._pick_cache_rows()
         t0 = time.monotonic_ns()
         try:
-            self.cache, self.state, packed = self._get_decode_fn(want_details)(
+            self.cache, self.state, packed = self._get_decode_fn(
+                want_details, cache_rows)(
                 self.model_params, self.cache, self.state)
             packed = jax.device_get(packed)
         except Exception as e:
             raise EngineDeviceError(f"decode step failed: {e}") from e
+        np.minimum(np.where(self._slot_ctx > 0,
+                            self._slot_ctx + self.decode_chunk, 0),
+                   self.max_seq, out=self._slot_ctx)
         if self.decode_chunk == 1:
             results = [StepResult(*sampling.unpack_step_outputs(packed))]
         else:

@@ -199,6 +199,7 @@ class SpeculativeEngine(InferenceEngine):
             jnp.asarray(ids), jnp.asarray(lengths),
             jnp.asarray(slots, jnp.int32), jnp.zeros((n,), jnp.int32))
         packed = jax.device_get(packed)
+        self._slot_ctx[np.asarray(slots)] = lengths + 1
         from .engine import PrefillResult
 
         step = StepResult(*sampling.unpack_step_outputs(packed))
