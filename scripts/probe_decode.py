@@ -36,16 +36,27 @@ from text_generation_inference_tpu.engine.engine import EngineState
 from text_generation_inference_tpu.models import core
 from text_generation_inference_tpu.models.core import DecoderSpec, KVCache
 
-S = int(os.environ.get("PROBE_SLOTS", "48"))
-T = int(os.environ.get("PROBE_MAXSEQ", "1024"))
-CHUNK = int(os.environ.get("PROBE_CHUNK", "64"))
-CALLS = int(os.environ.get("PROBE_CALLS", "4"))
+PROBE_MODEL = os.environ.get("PROBE_MODEL", "tinyllama")
 
-spec = DecoderSpec(
-    vocab_size=32000, hidden_size=2048, num_layers=22,
-    num_heads=32, num_kv_heads=4, head_dim=64,
-    intermediate_size=5632, pos="rope", norm="rmsnorm",
-    activation="silu_glu", norm_eps=1e-5)
+if PROBE_MODEL == "llama7b-int4":
+    S = int(os.environ.get("PROBE_SLOTS", "16"))
+    T = int(os.environ.get("PROBE_MAXSEQ", "512"))
+    CHUNK = int(os.environ.get("PROBE_CHUNK", "32"))
+    spec = DecoderSpec(
+        vocab_size=32000, hidden_size=4096, num_layers=32,
+        num_heads=32, num_kv_heads=32, head_dim=128,
+        intermediate_size=11008, pos="rope", norm="rmsnorm",
+        activation="silu_glu", norm_eps=1e-5)
+else:
+    S = int(os.environ.get("PROBE_SLOTS", "48"))
+    T = int(os.environ.get("PROBE_MAXSEQ", "1024"))
+    CHUNK = int(os.environ.get("PROBE_CHUNK", "64"))
+    spec = DecoderSpec(
+        vocab_size=32000, hidden_size=2048, num_layers=22,
+        num_heads=32, num_kv_heads=4, head_dim=64,
+        intermediate_size=5632, pos="rope", norm="rmsnorm",
+        activation="silu_glu", norm_eps=1e-5)
+CALLS = int(os.environ.get("PROBE_CALLS", "4"))
 
 
 def _forward_step(write, read_rows, params, cache, state):
@@ -352,11 +363,21 @@ def _ringbuf3_chunk(params, cache, state):
     return KVCache(k=new_k, v=new_v), state, ids_seq
 
 
-def _ring_ctx_chunk(read_rows, params, cache, state):
+def _ring_ctx_chunk(read_rows, params, cache, state, mode="base"):
     """ringbuf3 with the cache READ sliced to the first `read_rows` rows
     once per chunk (the slice is a copy, amortized over CHUNK steps); the
     chunk-end scatter still hits the full cache. Valid when every active
-    slot's context fits in read_rows."""
+    slot's context fits in read_rows.
+
+    mode (cost attribution; all but "base"/"merge" are incorrect math):
+      base      — shipped formulation (concat softmax)
+      merge     — two-part online-softmax merge, no big concat
+      noattn    — attention replaced by v broadcast (isolates attn cost)
+      nounembed — lm_head skipped, ids advance by a dummy (isolates unembed)
+    """
+    from text_generation_inference_tpu.ops import linear as linops
+
+    params = linops.prepare_params(params)
     from text_generation_inference_tpu.models.core import KVCache as KVC
 
     read_cache = KVC(
@@ -389,22 +410,75 @@ def _ring_ctx_chunk(read_rows, params, cache, state):
             q = core._apply_rope(spec, q, cos, sin)
             k = core._apply_rope(spec, k, cos, sin)
             qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
-            scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
-                                preferred_element_type=jnp.float32) * scale
-            scores = jnp.where(cache_mask[:, None, None, :], scores, -jnp.inf)
-            bscores = jnp.einsum("skgd,skcd->skgc", qg, kb,
-                                 preferred_element_type=jnp.float32) * scale
-            bscores = jnp.where(buf_mask[:, None, None, :], bscores, -jnp.inf)
-            score_new = jnp.sum(
-                qg.astype(jnp.float32) * k[:, :, None, :].astype(jnp.float32),
-                axis=-1) * scale
-            all_scores = jnp.concatenate(
-                [scores, bscores, score_new[..., None]], axis=-1)
-            probs = jax.nn.softmax(all_scores, axis=-1).astype(cv.dtype)
-            attn = jnp.einsum("skgt,sktd->skgd", probs[..., :read_rows], cv) \
-                + jnp.einsum("skgc,skcd->skgd",
-                             probs[..., read_rows:read_rows + CHUNK], vb) \
-                + probs[..., read_rows + CHUNK:] * v[:, :, None, :]
+            if mode == "kernel":
+                from text_generation_inference_tpu.ops.pallas import (
+                    ring_decode_attention as rda)
+
+                attn = rda.ring_decode_attention(
+                    qg, ck, cv, kb, vb, k, v, start_pos, i)
+            elif mode == "noattn":
+                attn = jnp.broadcast_to(
+                    v[:, :, None, :], (s, spec.num_kv_heads, group,
+                                       spec.head_dim))
+            elif mode == "merge":
+                # two-part online-softmax merge: big cache part and small
+                # (buffer + current) part each get a local softmax; results
+                # are rescaled by their max/denominator — no [T+C+1] concat
+                scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
+                                    preferred_element_type=jnp.float32) * scale
+                scores = jnp.where(cache_mask[:, None, None, :], scores,
+                                   -jnp.inf)
+                m1 = jnp.max(scores, axis=-1)                       # [S,K,G]
+                e1 = jnp.exp(scores - m1[..., None])
+                e1 = jnp.where(jnp.isfinite(scores), e1, 0.0)
+                l1 = jnp.sum(e1, axis=-1)
+                acc1 = jnp.einsum("skgt,sktd->skgd", e1.astype(cv.dtype), cv)
+                bscores = jnp.einsum("skgd,skcd->skgc", qg, kb,
+                                     preferred_element_type=jnp.float32) * scale
+                bscores = jnp.where(buf_mask[:, None, None, :], bscores,
+                                    -jnp.inf)
+                score_new = jnp.sum(
+                    qg.astype(jnp.float32)
+                    * k[:, :, None, :].astype(jnp.float32),
+                    axis=-1) * scale
+                small = jnp.concatenate([bscores, score_new[..., None]],
+                                        axis=-1)                    # [S,K,G,C+1]
+                m2 = jnp.max(small, axis=-1)
+                e2 = jnp.exp(small - m2[..., None])
+                e2 = jnp.where(jnp.isfinite(small), e2, 0.0)
+                l2 = jnp.sum(e2, axis=-1)
+                vb_ext = jnp.concatenate([vb, v[:, :, None, :]], axis=2)
+                acc2 = jnp.einsum("skgc,skcd->skgd", e2.astype(cv.dtype),
+                                  vb_ext)
+                m = jnp.maximum(m1, m2)
+                w1 = jnp.where(l1 > 0, jnp.exp(m1 - m), 0.0)
+                w2 = jnp.exp(m2 - m)
+                denom = l1 * w1 + l2 * w2
+                attn = (acc1.astype(jnp.float32) * w1[..., None]
+                        + acc2.astype(jnp.float32) * w2[..., None]) \
+                    / denom[..., None]
+                attn = attn.astype(x.dtype)
+            else:
+                scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
+                                    preferred_element_type=jnp.float32) * scale
+                scores = jnp.where(cache_mask[:, None, None, :], scores,
+                                   -jnp.inf)
+                bscores = jnp.einsum("skgd,skcd->skgc", qg, kb,
+                                     preferred_element_type=jnp.float32) * scale
+                bscores = jnp.where(buf_mask[:, None, None, :], bscores,
+                                    -jnp.inf)
+                score_new = jnp.sum(
+                    qg.astype(jnp.float32)
+                    * k[:, :, None, :].astype(jnp.float32),
+                    axis=-1) * scale
+                all_scores = jnp.concatenate(
+                    [scores, bscores, score_new[..., None]], axis=-1)
+                probs = jax.nn.softmax(all_scores, axis=-1).astype(cv.dtype)
+                attn = jnp.einsum("skgt,sktd->skgd",
+                                  probs[..., :read_rows], cv) \
+                    + jnp.einsum("skgc,skcd->skgd",
+                                 probs[..., read_rows:read_rows + CHUNK], vb) \
+                    + probs[..., read_rows + CHUNK:] * v[:, :, None, :]
             attn = attn.reshape(s, spec.num_heads, spec.head_dim)
             attn = core._attn_out(spec, lp, attn)
             x = x + attn
@@ -420,8 +494,11 @@ def _ring_ctx_chunk(read_rows, params, cache, state):
         vbuf = jax.lax.dynamic_update_slice(
             vbuf, v_all[:, :, :, None, :].astype(vbuf.dtype), (0, 0, 0, i, 0))
         x = core._norm(spec, params["final_norm"], x)
-        logits = core._unembed(spec, params, x)
-        next_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if mode == "nounembed":
+            next_ids = (ids + jnp.sum(x, axis=-1).astype(jnp.int32) % 3 + 1) % 32000
+        else:
+            logits = core._unembed(spec, params, x)
+            next_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         new_hist = state.history.at[rows, state.history_len].set(
             next_ids, mode="drop")
         state = state._replace(history=new_hist,
@@ -449,7 +526,13 @@ def build(variant):
     if variant == "ringbuf3":
         return jax.jit(_ringbuf3_chunk, donate_argnums=(1, 2)), "ringbuf3"
     if variant.startswith("ring_ctx"):
-        rr = int(variant[8:])
+        body = variant[8:]
+        for mode in ("noattn", "nounembed", "merge", "kernel"):
+            if body.endswith("_" + mode):
+                rr = int(body[: -len(mode) - 1])
+                return jax.jit(partial(_ring_ctx_chunk, rr, mode=mode),
+                               donate_argnums=(1, 2)), variant
+        rr = int(body)
         return jax.jit(partial(_ring_ctx_chunk, rr),
                        donate_argnums=(1, 2)), variant
 
@@ -500,7 +583,14 @@ def build(variant):
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform}", file=sys.stderr)
-    params = core.init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
+    if PROBE_MODEL == "llama7b-int4":
+        import bench
+
+        params = bench._init_int4_params(spec, jax.random.key(0),
+                                         jnp.bfloat16)
+    else:
+        params = core.init_params(spec, jax.random.key(0),
+                                  dtype=jnp.bfloat16)
     results = {}
     for variant in sys.argv[1:]:
         cache = KVCache.create(spec, S, T, jnp.bfloat16)

@@ -328,7 +328,7 @@ class TestCtxBuckets:
     def test_default_ladder_caps_at_max_seq(self):
         cfg = ServingConfig(max_sequence_length=1024, max_new_tokens=512)
         cfg.validate()
-        assert cfg.decode_ctx_buckets == [256, 512, 1024]
+        assert cfg.decode_ctx_buckets == [128, 256, 512, 1024]
         cfg2 = ServingConfig(max_sequence_length=64, max_new_tokens=32)
         cfg2.validate()
         assert cfg2.decode_ctx_buckets == [64]

@@ -289,3 +289,38 @@ class TestPagedParityFeatures:
         assert len(paged.free_slots) == paged.num_slots
         assert paged.allocator.num_free == 16
         assert run_engine(paged, PROMPTS[0], 8) == baseline
+
+
+class TestLivePageBuckets:
+    """The ring decode compiles per live-page bucket (powers of two) and
+    must pick the smallest bucket covering every live context."""
+
+    def test_bucket_pick_tracks_contexts(self, llama):
+        spec, params = llama
+        paged = PagedInferenceEngine(spec, params,
+                                     make_config(decode_chunk=4),
+                                     eos_token_id=2, num_pages=64)
+        assert paged._page_bucket_grid() == [1, 2, 4, 8]
+        assert paged._pick_live_pages() == 1          # empty engine
+        slot = paged.acquire_slot()
+        paged.prefill([slot], [PROMPTS[1]],
+                      [RequestParams(max_new_tokens=30)])  # hist 8 -> 1 page
+        assert paged._pick_live_pages() == 1
+        paged.decode_steps()                          # hist 12 -> 2 pages
+        assert paged._pick_live_pages() == 2
+        for _ in range(2):
+            paged.decode_steps()                      # hist 20 -> 4 pages
+        assert paged._pick_live_pages() == 4
+        paged.free(slot)
+        paged.decode_steps()                          # drains the free
+        assert paged._pick_live_pages() == 1
+
+    def test_forced_buckets_agree(self, llama):
+        spec, params = llama
+        ref = PagedInferenceEngine(spec, params, make_config(decode_chunk=4),
+                                   eos_token_id=2, num_pages=64)
+        ref._warmup_pages = 8                         # always full table
+        full = run_engine(ref, PROMPTS[0], 12)
+        auto = PagedInferenceEngine(spec, params, make_config(decode_chunk=4),
+                                    eos_token_id=2, num_pages=64)
+        assert run_engine(auto, PROMPTS[0], 12) == full

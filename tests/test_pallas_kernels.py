@@ -179,3 +179,59 @@ class TestPagedAttentionPartial(TestPagedAttention):
             q, kp, vp, bt, ctx, ps, interpret=True)
         assert np.asarray(l)[0].max() == 0.0
         assert np.all(np.isneginf(np.asarray(m)[0]))
+
+
+from text_generation_inference_tpu.ops.pallas import ring_decode_attention as rda
+
+
+def make_ring_inputs(s=4, kh=2, g=4, d=64, t=256, c=8, seed=0,
+                     dtype=jnp.float32, max_ctx=None):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(s, kh, g, d)), dtype)
+    k = jnp.asarray(rng.normal(size=(s, kh, t, d)), dtype)
+    v = jnp.asarray(rng.normal(size=(s, kh, t, d)), dtype)
+    kb = jnp.asarray(rng.normal(size=(s, kh, c, d)), dtype)
+    vb = jnp.asarray(rng.normal(size=(s, kh, c, d)), dtype)
+    kn = jnp.asarray(rng.normal(size=(s, kh, d)), dtype)
+    vn = jnp.asarray(rng.normal(size=(s, kh, d)), dtype)
+    ctx = jnp.asarray(rng.integers(0, (max_ctx or t) + 1, size=(s,)),
+                      jnp.int32)
+    return q, k, v, kb, vb, kn, vn, ctx
+
+
+class TestRingDecodeAttention:
+    def _check(self, args, step, **kw):
+        ref = rda.ring_decode_attention_reference(*args, jnp.int32(step))
+        got = rda.ring_decode_attention(*args, jnp.int32(step),
+                                        interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_matches_reference(self):
+        self._check(make_ring_inputs(), step=5, block_t=128)
+
+    def test_step_zero_only_current_token(self):
+        self._check(make_ring_inputs(seed=1), step=0, block_t=128)
+
+    def test_zero_context_slots(self):
+        args = make_ring_inputs(seed=2, max_ctx=1)
+        self._check(args, step=3, block_t=128)
+
+    def test_full_buffer(self):
+        self._check(make_ring_inputs(seed=3, c=16), step=16, block_t=128)
+
+    def test_slot_padding(self):
+        # s=5 with block_s=4 exercises the pad/strip path
+        self._check(make_ring_inputs(s=5, seed=4), step=2,
+                    block_t=128, block_s=4)
+
+    def test_bf16(self):
+        args = make_ring_inputs(dtype=jnp.bfloat16, seed=5)
+        ref = rda.ring_decode_attention_reference(*args, jnp.int32(4))
+        got = rda.ring_decode_attention(*args, jnp.int32(4), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=3e-2, atol=3e-2)
+
+    def test_block_not_dividing_t(self):
+        self._check(make_ring_inputs(t=384, seed=6), step=7, block_t=256)

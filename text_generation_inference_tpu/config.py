@@ -179,11 +179,11 @@ class ServingConfig:
         if self.prefill_buckets[-1] < self.max_sequence_length:
             self.prefill_buckets.append(self.max_sequence_length)
         if self.decode_ctx_buckets is None:
-            # derive the ring-decode context ladder: 256, 512, 1024, ...
+            # derive the ring-decode context ladder: 128, 256, 512, ...
             # capped by max_seq (one compiled decode program per bucket ×
-            # details-variant; 256 keeps the program count small while the
-            # sub-256 regime is already near the compute floor)
-            ladder, b = [], 256
+            # details-variant; 128 keeps the program count small while the
+            # sub-128 regime is already near the compute floor)
+            ladder, b = [], 128
             while b < self.max_sequence_length:
                 ladder.append(b)
                 b *= 2

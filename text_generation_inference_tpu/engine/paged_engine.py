@@ -86,7 +86,8 @@ def _paged_decode_multi(spec, eos_id, page_size, num_steps,
 def _paged_ring_multi(spec: DecoderSpec, eos_id: int, page_size: int,
                       num_steps: int, params: dict,
                       cache: PagedKVCache, state: EngineState,
-                      want_details: bool = True, mesh=None):
+                      want_details: bool = True, mesh=None,
+                      live_pages: int = None):
     """Ring-buffer chunk decode over the paged pool: the pool is read-only
     inside the scan (Pallas kernel + flash-decoding merge with the ring,
     see paged_core.decode_paged_ring_step); ONE block-table scatter per
@@ -107,7 +108,7 @@ def _paged_ring_multi(spec: DecoderSpec, eos_id: int, page_size: int,
         ids = state.history[rows, pos]
         logits, k_all, v_all = paged_core.decode_paged_ring_step(
             spec, params, ids, pos, cache, kbuf, vbuf, i, chunk_start,
-            page_size=page_size, mesh=mesh)
+            page_size=page_size, mesh=mesh, live_pages=live_pages)
         kbuf = jax.lax.dynamic_update_slice(
             kbuf, k_all[:, :, :, None, :].astype(pool_dtype), (0, 0, 0, i, 0))
         vbuf = jax.lax.dynamic_update_slice(
@@ -222,6 +223,10 @@ class PagedInferenceEngine:
         self._pending_frees: list[int] = []
         # host mirror of the block table (avoids a device fetch per prefill)
         self._bt_host = np.zeros((self.num_slots, max_pages_per_slot), np.int32)
+        # host mirror of history_len (0 = free) for the live-page bucket
+        # pick; mutated only on the engine-call thread (see InferenceEngine)
+        self._slot_ctx = np.zeros(self.num_slots, np.int32)
+        self._warmup_pages = None
 
         logger.info("paged KV pool: %d pages x %d tokens (%.2f GiB)",
                     num_pages, self.page_size,
@@ -234,8 +239,37 @@ class PagedInferenceEngine:
         self.last_forward_ns = 0
         self.last_n_emitted = None
 
-    def _get_decode_fn(self, want_details: bool):
-        fn = self._decode_fns.get(want_details)
+    def _page_bucket_grid(self) -> list:
+        """Distinct live-page values decode may compile: powers of two up
+        to the per-slot table width (ring mode only)."""
+        mp = self.allocator.max_pages_per_slot
+        if self._write_mode != "ring" or self.decode_chunk == 1:
+            return [mp]
+        grid, b = [], 1
+        while b < mp:
+            grid.append(b)
+            b *= 2
+        grid.append(mp)
+        return grid
+
+    def _pick_live_pages(self) -> int:
+        """Smallest page bucket covering every live slot's pre-chunk
+        context (host mirror; freed-slot staleness is read-only safe —
+        the kernel clamps to the sliced table and outputs are discarded)."""
+        if self._warmup_pages is not None:
+            return self._warmup_pages
+        mp = self.allocator.max_pages_per_slot
+        if self._write_mode != "ring" or self.decode_chunk == 1:
+            return mp
+        need = -(-int(self._slot_ctx.max(initial=0)) // self.page_size)
+        for b in self._page_bucket_grid():
+            if b >= need:
+                return b
+        return mp
+
+    def _get_decode_fn(self, want_details: bool, live_pages: int):
+        key = (want_details, live_pages)
+        fn = self._decode_fns.get(key)
         if fn is None:
             if self.decode_chunk == 1:
                 fn = jax.jit(
@@ -247,7 +281,8 @@ class PagedInferenceEngine:
                 fn = jax.jit(
                     partial(_paged_ring_multi, self.spec, self.eos_token_id,
                             self.page_size, self.decode_chunk,
-                            want_details=want_details, mesh=self.mesh),
+                            want_details=want_details, mesh=self.mesh,
+                            live_pages=live_pages),
                     donate_argnums=(1, 2))
             else:
                 fn = jax.jit(
@@ -255,7 +290,7 @@ class PagedInferenceEngine:
                             self.page_size, self.decode_chunk,
                             want_details=want_details, mesh=self.mesh),
                     donate_argnums=(1, 2))
-            self._decode_fns[want_details] = fn
+            self._decode_fns[key] = fn
         return fn
 
     def reset(self) -> None:
@@ -280,6 +315,7 @@ class PagedInferenceEngine:
         with self._free_lock:
             self._pending_frees.clear()
         self._bt_host[:] = 0
+        self._slot_ctx[:] = 0
         logger.warning("paged engine device state reset (all slots cleared)")
 
     def warmup(self, batch_sizes: tuple[int, ...] = (1,),
@@ -304,9 +340,14 @@ class PagedInferenceEngine:
                     n_compiles += 1
                 for slot in slots:
                     self.free(slot)
-        for want_details in (False, True):
-            self.decode_steps(want_details=want_details)
-            n_compiles += 1
+        try:
+            for pages in self._page_bucket_grid():
+                self._warmup_pages = pages
+                for want_details in (False, True):
+                    self.decode_steps(want_details=want_details)
+                    n_compiles += 1
+        finally:
+            self._warmup_pages = None
         self.reset()
         logger.info("paged warmup compiled %d programs in %.1fs",
                     n_compiles, time.monotonic() - t0)
@@ -360,6 +401,7 @@ class PagedInferenceEngine:
         with self._free_lock:
             pending, self._pending_frees = self._pending_frees, []
         if pending:
+            self._slot_ctx[np.asarray(pending)] = 0
             slots = jnp.asarray(pending, jnp.int32)
             self.state = self.state._replace(
                 active=self.state.active.at[slots].set(False))
@@ -429,6 +471,7 @@ class PagedInferenceEngine:
             packed = jax.device_get(packed)
         except Exception as e:
             raise EngineDeviceError(f"paged prefill failed: {e}") from e
+        self._slot_ctx[np.asarray(slots)] = lengths + 1
         step = StepResult(*sampling.unpack_step_outputs(packed))
         self.last_forward_ns = time.monotonic_ns() - t0
 
@@ -458,13 +501,18 @@ class PagedInferenceEngine:
     def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         self.last_n_emitted = None
         self._apply_pending_frees()
+        live_pages = self._pick_live_pages()
         t0 = time.monotonic_ns()
         try:
-            self.cache, self.state, packed = self._get_decode_fn(want_details)(
+            self.cache, self.state, packed = self._get_decode_fn(
+                want_details, live_pages)(
                 self.model_params, self.cache, self.state)
             packed = jax.device_get(packed)
         except Exception as e:
             raise EngineDeviceError(f"paged decode failed: {e}") from e
+        np.minimum(np.where(self._slot_ctx > 0,
+                            self._slot_ctx + self.decode_chunk, 0),
+                   self.max_seq, out=self._slot_ctx)
         if self.decode_chunk == 1:
             results = [StepResult(*sampling.unpack_step_outputs(packed))]
         else:

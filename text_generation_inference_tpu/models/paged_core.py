@@ -174,6 +174,7 @@ def decode_paged_ring_step(
     chunk_start: jax.Array,  # [S] i32: positions at chunk entry
     page_size: int = 128,
     mesh=None,
+    live_pages: Optional[int] = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Ring-buffer decode step over the paged pool (the paged counterpart
     of core.decode_ring_step): the pool is never written inside the chunk
@@ -187,6 +188,11 @@ def decode_paged_ring_step(
     s = ids.shape[0]
     n_buf = kbuf.shape[3]
     bt = cache.block_table
+    if live_pages is not None and live_pages < bt.shape[1]:
+        # the kernel grid is (S, bt.shape[1]): slicing the table to the
+        # live-page bucket drops dead grid iterations (the engine picks the
+        # smallest bucket covering every live slot's pre-chunk context)
+        bt = jax.lax.slice_in_dim(bt, 0, live_pages, axis=1)
     x = _embed(spec, params, ids, positions)
     if spec.pos == "rope":
         cos, sin = _rope_freqs(spec, positions)

@@ -166,7 +166,10 @@ def paged_decode_attention(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         return (si, 0, 0, 0)
 
     def kv_index(si, bi, ctx_ref, bt_ref):
-        last_live = jnp.maximum(pl.cdiv(ctx_ref[si], page_size) - 1, 0)
+        # clamp to the table width too: a freed slot's stale ctx may imply
+        # more pages than the (possibly live-page-sliced) table holds
+        last_live = jnp.clip(pl.cdiv(ctx_ref[si], page_size) - 1, 0,
+                             max_pages - 1)
         page = bt_ref[si, jnp.minimum(bi, last_live)]
         return (0, page, 0)
 
@@ -214,7 +217,10 @@ def paged_decode_attention_partial(q: jax.Array, k_pool: jax.Array,
         return (si, 0, 0, 0)
 
     def kv_index(si, bi, ctx_ref, bt_ref):
-        last_live = jnp.maximum(pl.cdiv(ctx_ref[si], page_size) - 1, 0)
+        # clamp to the table width too: a freed slot's stale ctx may imply
+        # more pages than the (possibly live-page-sliced) table holds
+        last_live = jnp.clip(pl.cdiv(ctx_ref[si], page_size) - 1, 0,
+                             max_pages - 1)
         page = bt_ref[si, jnp.minimum(bi, last_live)]
         return (0, page, 0)
 
