@@ -225,6 +225,23 @@ def main():
         except TypeError:
             engine.decode_steps()
 
+    # Pin decode to the single context/page bucket the timed region peaks
+    # at: crossing a bucket boundary mid-measurement would charge that
+    # program's one-time cost (trace/compile on a cold cache; executable
+    # load on first execution, ~100ms through a remote-TPU tunnel) to the
+    # timed loop. The warmup chunks below then execute the pinned program,
+    # absorbing the load before timing. Production instead AOT-compiles
+    # the full grid up front (engine.precompile_decode, called by warmup()).
+    max_need = prompt_len + 1 + warmup + steps - decode_chunk
+    if hasattr(engine, "_warmup_rows"):
+        grid = engine._ctx_bucket_grid()
+        engine._warmup_rows = next((b for b in grid if b >= max_need),
+                                   grid[-1])
+    elif hasattr(engine, "_warmup_pages"):
+        grid = engine._page_bucket_grid()
+        need = -(-max_need // engine.page_size)
+        engine._warmup_pages = next((b for b in grid if b >= need), grid[-1])
+
     for _ in range(max(warmup // decode_chunk, 1)):
         step_chunk()
 

@@ -325,6 +325,19 @@ class TestCtxBuckets:
         engine.decode_steps()                          # drains the free
         assert engine._pick_cache_rows() == 8
 
+    def test_precompile_covers_grid_without_touching_state(self):
+        model_dir = fixtures.tiny_llama()
+        engine = self._build(model_dir, [8, 16, 32, 64])
+        before = np.asarray(engine.state.history_len)
+        n = engine.precompile_decode()
+        assert n == 2 * len(engine._ctx_bucket_grid())
+        assert set(engine._decode_fns) == {
+            (d, b) for d in (False, True) for b in engine._ctx_bucket_grid()}
+        assert (np.asarray(engine.state.history_len) == before).all()
+        # compiled programs must still produce the reference stream
+        assert self._run(engine) == self._run(
+            self._build(model_dir, [8, 16, 32, 64]))
+
     def test_default_ladder_caps_at_max_seq(self):
         cfg = ServingConfig(max_sequence_length=1024, max_new_tokens=512)
         cfg.validate()

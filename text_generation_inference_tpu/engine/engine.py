@@ -519,12 +519,15 @@ class InferenceEngine:
                     self.prefill(slots, ids, [RequestParams()] * n,
                                  want_prompt_details=variant)
                     n_compiles += 1
+        n_compiles += self.precompile_decode()
+        # execute one chunk per bucket: the first execution of a freshly
+        # compiled program pays a one-time executable load that should not
+        # land on the first real request
         try:
             for rows in self._ctx_bucket_grid():
                 self._warmup_rows = rows
                 for want_details in (False, True):
                     self.decode_steps(want_details=want_details)
-                    n_compiles += 1
         finally:
             self._warmup_rows = None
         # reset slot state polluted by the dummy prefills
@@ -586,8 +589,28 @@ class InferenceEngine:
                             self.decode_chunk, write_mode=write_mode,
                             want_details=want_details),
                     donate_argnums=(1, 2))
+            # AOT-compile and cache the executable: a bare jit fn re-traces
+            # on its first real call, which would land the multi-second
+            # trace (and, on a cold XLA cache, the multi-minute compile)
+            # inside the serving/bench hot loop when a context bucket is
+            # first crossed. lower() does not execute or consume donated
+            # buffers, so this is state-safe at any time.
+            fn = fn.lower(self.model_params, self.cache, self.state).compile()
             self._decode_fns[key] = fn
         return fn
+
+    def precompile_decode(self, details=(False, True)) -> int:
+        """AOT-compile every decode program (context bucket x details
+        variant) without running a step or touching engine state. Returns
+        the number of programs materialized. Counterpart of the
+        reference's decode-shape warmup (reference:
+        server/.../utils/warmup.py:68-152), but ahead-of-time."""
+        n = 0
+        for rows in self._ctx_bucket_grid():
+            for want_details in details:
+                self._get_decode_fn(want_details, rows)
+                n += 1
+        return n
 
     def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         """`decode_chunk` decode steps in one dispatch + one host fetch."""

@@ -267,6 +267,17 @@ class PagedInferenceEngine:
                 return b
         return mp
 
+    def precompile_decode(self, details=(False, True)) -> int:
+        """AOT-compile every decode program (live-page bucket x details
+        variant) without running a step or touching engine state (see
+        InferenceEngine.precompile_decode)."""
+        n = 0
+        for pages in self._page_bucket_grid():
+            for want_details in details:
+                self._get_decode_fn(want_details, pages)
+                n += 1
+        return n
+
     def _get_decode_fn(self, want_details: bool, live_pages: int):
         key = (want_details, live_pages)
         fn = self._decode_fns.get(key)
@@ -290,6 +301,10 @@ class PagedInferenceEngine:
                             self.page_size, self.decode_chunk,
                             want_details=want_details, mesh=self.mesh),
                     donate_argnums=(1, 2))
+            # AOT-compile now (state-safe: lower() neither executes nor
+            # consumes donated buffers) so crossing into a new live-page
+            # bucket never traces/compiles inside the serving hot loop
+            fn = fn.lower(self.model_params, self.cache, self.state).compile()
             self._decode_fns[key] = fn
         return fn
 
@@ -340,12 +355,15 @@ class PagedInferenceEngine:
                     n_compiles += 1
                 for slot in slots:
                     self.free(slot)
+        n_compiles += self.precompile_decode()
+        # execute one chunk per bucket: the first execution of a freshly
+        # compiled program pays a one-time executable load that should not
+        # land on the first real request
         try:
             for pages in self._page_bucket_grid():
                 self._warmup_pages = pages
                 for want_details in (False, True):
                     self.decode_steps(want_details=want_details)
-                    n_compiles += 1
         finally:
             self._warmup_pages = None
         self.reset()

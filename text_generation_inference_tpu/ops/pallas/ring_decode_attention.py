@@ -12,6 +12,16 @@ Replaces (for the serving decode hot loop) what the reference implements
 as paged/flash decode CUDA kernels (reference: server/.../utils/paged.py,
 utils/flash_attn.py).
 
+MEASURED VERDICT (v5e, TinyLlama S=48/ctx-bucket 256/chunk 64, via
+scripts/probe_decode.py ring_ctx256_kernel): 6.33 ms/step vs 4.66 for the
+XLA concat-softmax formulation — the grid is only (48/8)x(1+1) iterations
+at that context, so per-call overhead x 22 layers x 64 scan steps swamps
+the saved score-pipeline traffic (attention total is ~1.3 ms/step, the
+whole kernel win ceiling). The engine therefore keeps the XLA path; this
+kernel stays as the probe's `kernel` mode and as the candidate for
+long-context regimes where the cache block count (and thus useful work
+per launch) is much larger.
+
 Design notes (v5e):
   * one grid step covers a GROUP of slots (default 8) so the per-iteration
     overhead amortizes: per (layer, step) the grid is (S/SB) * (nb + 1)
