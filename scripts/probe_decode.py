@@ -591,6 +591,10 @@ def main():
     else:
         params = core.init_params(spec, jax.random.key(0),
                                   dtype=jnp.bfloat16)
+    if os.environ.get("PROBE_FUSE", "0").lower() not in ("0", "false"):
+        from text_generation_inference_tpu.models.fuse import fuse_params
+
+        params = fuse_params(spec, params)
     results = {}
     for variant in sys.argv[1:]:
         cache = KVCache.create(spec, S, T, jnp.bfloat16)

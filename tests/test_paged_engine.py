@@ -315,6 +315,20 @@ class TestLivePageBuckets:
         paged.decode_steps()                          # drains the free
         assert paged._pick_live_pages() == 1
 
+    def test_dense_gather_matches_kernel_path(self, llama):
+        """Buckets within paged_gather_ctx_max run the dense-gather XLA
+        attention; gather_ctx_max=0 forces the paged-kernel/merge path.
+        Streams must be identical."""
+        spec, params = llama
+        dense = PagedInferenceEngine(
+            spec, params, make_config(decode_chunk=4, paged_gather_ctx_max=64),
+            eos_token_id=2, num_pages=64)
+        kern = PagedInferenceEngine(
+            spec, params, make_config(decode_chunk=4, paged_gather_ctx_max=0),
+            eos_token_id=2, num_pages=64)
+        assert run_engine(dense, PROMPTS[1], 16) == \
+            run_engine(kern, PROMPTS[1], 16)
+
     def test_forced_buckets_agree(self, llama):
         spec, params = llama
         ref = PagedInferenceEngine(spec, params, make_config(decode_chunk=4),

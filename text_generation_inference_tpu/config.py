@@ -98,6 +98,17 @@ class ServingConfig:
                                               # DMA skipped); None = derive
                                               # 256,512,... up to max_seq
     kv_page_size: int = 128                   # tokens per KV page (paged cache)
+    paged_gather_ctx_max: int = 1024          # paged ring decode: context
+                                              # buckets up to this many tokens
+                                              # gather their live pages into a
+                                              # dense per-chunk view and run
+                                              # the slot engine's XLA
+                                              # attention (no per-layer kernel
+                                              # launches); larger buckets use
+                                              # the Pallas paged kernel.
+                                              # 0 = kernel always. Costs a
+                                              # transient dense KV copy,
+                                              # budgeted by the pool sizer.
     hbm_memory_fraction: float = 0.9          # cap of free HBM given to KV
     batch_safety_margin: float = 0.2          # reference default 20%
 
@@ -148,6 +159,7 @@ class ServingConfig:
                 _env_int_list("DECODE_CTX_BUCKETS", [])
                 if os.getenv("DECODE_CTX_BUCKETS") else None),
             kv_page_size=_env_int("KV_PAGE_SIZE", 128),
+            paged_gather_ctx_max=_env_int("PAGED_GATHER_CTX_MAX", 1024),
             hbm_memory_fraction=_env_float("HBM_MEMORY_FRACTION", 0.9),
             batch_safety_margin=_env_float("BATCH_SAFETY_MARGIN", 0.2),
             prefix_store_path=os.getenv("PREFIX_STORE_PATH") or None,

@@ -87,11 +87,18 @@ def _paged_ring_multi(spec: DecoderSpec, eos_id: int, page_size: int,
                       num_steps: int, params: dict,
                       cache: PagedKVCache, state: EngineState,
                       want_details: bool = True, mesh=None,
-                      live_pages: int = None):
+                      live_pages: int = None, gather_ctx_max: int = 0):
     """Ring-buffer chunk decode over the paged pool: the pool is read-only
-    inside the scan (Pallas kernel + flash-decoding merge with the ring,
-    see paged_core.decode_paged_ring_step); ONE block-table scatter per
-    chunk replaces the per-step full-pool copy."""
+    inside the scan; ONE block-table scatter per chunk replaces the
+    per-step full-pool copy.
+
+    Two attention implementations, picked statically per live-page bucket:
+    dense-gather (bucket <= gather_ctx_max tokens) collects the live pages
+    into a dense [L,S,K,R,D] view once per chunk and runs the slot
+    engine's XLA ring step — no per-(layer, step) kernel launches, which
+    dominate at serving shapes; bigger buckets use the Pallas paged kernel
+    + flash-decoding merge (decode_paged_ring_step), which streams pages
+    without materializing the dense copy."""
     params = linops.prepare_params(params)
     s, t_max = state.history.shape
     rows = jnp.arange(s)
@@ -101,14 +108,23 @@ def _paged_ring_multi(spec: DecoderSpec, eos_id: int, page_size: int,
     kbuf = jnp.zeros((spec.num_layers, s, spec.num_kv_heads, num_steps,
                       spec.head_dim), pool_dtype)
     vbuf = jnp.zeros_like(kbuf)
+    dense = (live_pages is not None
+             and live_pages * page_size <= gather_ctx_max)
+    dense_cache = (paged_core.gather_dense_view(cache, live_pages, page_size)
+                   if dense else None)
 
     def body(carry, i):
         kbuf, vbuf, state = carry
         pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
         ids = state.history[rows, pos]
-        logits, k_all, v_all = paged_core.decode_paged_ring_step(
-            spec, params, ids, pos, cache, kbuf, vbuf, i, chunk_start,
-            page_size=page_size, mesh=mesh, live_pages=live_pages)
+        if dense:
+            logits, k_all, v_all = core.decode_ring_step(
+                spec, params, ids, pos, dense_cache, kbuf, vbuf,
+                i, chunk_start)
+        else:
+            logits, k_all, v_all = paged_core.decode_paged_ring_step(
+                spec, params, ids, pos, cache, kbuf, vbuf, i, chunk_start,
+                page_size=page_size, mesh=mesh, live_pages=live_pages)
         kbuf = jax.lax.dynamic_update_slice(
             kbuf, k_all[:, :, :, None, :].astype(pool_dtype), (0, 0, 0, i, 0))
         vbuf = jax.lax.dynamic_update_slice(
@@ -293,7 +309,8 @@ class PagedInferenceEngine:
                     partial(_paged_ring_multi, self.spec, self.eos_token_id,
                             self.page_size, self.decode_chunk,
                             want_details=want_details, mesh=self.mesh,
-                            live_pages=live_pages),
+                            live_pages=live_pages,
+                            gather_ctx_max=self.config.paged_gather_ctx_max),
                     donate_argnums=(1, 2))
             else:
                 fn = jax.jit(
@@ -380,8 +397,14 @@ class PagedInferenceEngine:
         act = bucket * (self.spec.hidden_size * 6
                         + self.spec.intermediate_size * 3) * 4
         act += bucket * self.spec.vocab_size * 4
+        # dense-gather ring decode materializes a per-chunk KV view of up
+        # to paged_gather_ctx_max tokens per slot (k + v) — reserve it
+        gather_rows = min(self.config.paged_gather_ctx_max, self.max_seq)
+        gather_b = (self.spec.num_layers * 2 * self.num_slots * gather_rows
+                    * self.spec.num_kv_heads * self.spec.head_dim
+                    * jnp.dtype(dtype).itemsize)
         usable = int(hbm * (1 - self.config.batch_safety_margin)) \
-            - params_b - act
+            - params_b - act - gather_b
         pages = max(usable // bytes_per_page,
                     self.num_slots * 2)
         # at least enough for one max-length sequence...

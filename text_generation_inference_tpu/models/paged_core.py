@@ -162,6 +162,32 @@ def decode_paged(
     return logits, cache._replace(k=new_k, v=new_v)
 
 
+def gather_dense_view(cache: PagedKVCache, live_pages: int,
+                      page_size: int):
+    """Gather every slot's first `live_pages` pages into a dense
+    slot-indexed KV view [L, S, K, R, D] (R = live_pages * page_size).
+
+    Within a ring-decode chunk the pool is read-only and the block tables
+    are fixed, so this ONE gather (amortized over the whole chunk) lets
+    the chunk run the slot engine's XLA attention — no per-(layer, step)
+    Pallas launch. Row r of the view is absolute position r (pages are
+    allocated in position order). Stale tables of inactive slots read
+    garbage pages; their scores are masked / outputs discarded, exactly
+    like the slot engine's stale rows.
+    """
+    from .core import KVCache
+
+    bt = cache.block_table[:, :live_pages]                    # [S, P']
+    s = bt.shape[0]
+    rows = (bt[:, :, None] * page_size
+            + jnp.arange(page_size, dtype=jnp.int32)[None, None, :]
+            ).reshape(s, live_pages * page_size)              # [S, R]
+    # pool [L, K, POOL_R, D] --take axis 2--> [L, K, S, R, D] -> [L,S,K,R,D]
+    k = jnp.swapaxes(jnp.take(cache.k, rows, axis=2), 1, 2)
+    v = jnp.swapaxes(jnp.take(cache.v, rows, axis=2), 1, 2)
+    return KVCache(k=k, v=v)
+
+
 def decode_paged_ring_step(
     spec: DecoderSpec,
     params: dict,

@@ -38,7 +38,10 @@ def matmul(x: jax.Array, w) -> jax.Array:
             x = jnp.take(x, w.perm, axis=-1)
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        if _use_pallas() and w.q4 is not None:
+        impl = os.getenv("INT4_IMPL", "")     # perf A/B: force an impl
+        if impl == "dequant":
+            y = matmul_dequant(x2, w)
+        elif _use_pallas() and w.q4 is not None and impl != "packed":
             from .pallas.int4_matmul import int4_matmul_s4
 
             y = int4_matmul_s4(x2, w)
@@ -59,7 +62,8 @@ def prepare_params(params):
     relayout runs once per dispatch — amortized over the whole decode
     chunk — instead of once per matmul. Persistent storage stays 4-bit
     packed: s4 arrays cannot cross jit boundaries on every backend."""
-    if not (_use_pallas() and _native_s4()):
+    if not (_use_pallas() and _native_s4()) \
+            or os.getenv("INT4_IMPL", "") == "packed":
         return params
 
     def conv(leaf):
