@@ -123,22 +123,57 @@ def _kernel_s4(x_ref,        # [S, BI]
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def int4_matmul_s4(x: jax.Array, w: Int4Weight, *, block_in: int = 512,
-                   block_out: int = 1024, compute_dtype=jnp.bfloat16,
+def _auto_blocks(in_f: int, out_f: int, groupsize: int) -> tuple[int, int]:
+    """Pick (block_in, block_out) minimizing the grid-iteration count under
+    a VMEM weight-block budget. Per-iteration fixed cost dominates decode
+    matmuls at small batch (S=16 rows): the legacy 512x1024 blocking ran a
+    7B decode step in ~15k grid iterations (~15 ms of pure overhead);
+    budget-capped maximal blocks cut that ~15x. Divisor-constrained: both
+    blocks must divide their axes (block_in a multiple of groupsize)."""
+    import os
+
+    budget = int(os.getenv("INT4_BLOCK_BUDGET", str(8 * 1024 * 1024)))
+    cap_out = int(os.getenv("INT4_BLOCK_OUT", "8192"))
+    if out_f % 128 != 0:
+        bo_candidates = [out_f]
+    else:
+        bo_candidates = [d for d in range(128, min(cap_out, out_f) + 1, 128)
+                         if out_f % d == 0]
+    best = None
+    for bo in bo_candidates:
+        bi = _largest_divisor(in_f, groupsize,
+                              min(max(budget // bo, groupsize), in_f))
+        iters = (in_f // bi) * (out_f // bo)
+        key = (iters, -bo)
+        if best is None or key < best[0]:
+            best = (key, bi, bo)
+    return best[1], best[2]
+
+
+def int4_matmul_s4(x: jax.Array, w: Int4Weight, *,
+                   block_in: int | None = None,
+                   block_out: int | None = None,
+                   compute_dtype=jnp.bfloat16,
                    interpret: bool = False) -> jax.Array:
     """y = x @ dequant(w) via the native-s4 representation (w.q4 set by
     quant.int4.populate_q4, typically inside the consuming jit so the
-    relayout is paid once per decode chunk). Sequential g_idx only."""
+    relayout is paid once per decode chunk). Sequential g_idx only.
+    Blocks default to the VMEM-budget auto-pick (_auto_blocks)."""
     assert w.q4 is not None and w.zbias is not None
     s, in_f = x.shape
     out_f = w.out_features
     groups = w.scales.shape[0]
     groupsize = in_f // groups
-    block_in = _largest_divisor(in_f, groupsize, min(block_in, in_f))
-    block_out = _largest_divisor(out_f, 128, min(block_out, out_f)) \
-        if out_f % 128 == 0 else out_f
+    if block_in is None and block_out is None:
+        block_in, block_out = _auto_blocks(in_f, out_f, groupsize)
+    else:
+        block_in = _largest_divisor(in_f, groupsize,
+                                    min(block_in or 512, in_f))
+        block_out = _largest_divisor(out_f, 128,
+                                     min(block_out or 1024, out_f)) \
+            if out_f % 128 == 0 else out_f
     gpb = block_in // groupsize
-    assert gpb <= _GPB_PAD, f"group rows per block {gpb} > {_GPB_PAD}"
+    gpb_pad = -(-gpb // _GPB_PAD) * _GPB_PAD
 
     s_pad = max(8, -(-s // 8) * 8)
     if s_pad != s:
@@ -150,8 +185,8 @@ def int4_matmul_s4(x: jax.Array, w: Int4Weight, *, block_in: int = 512,
     zb4 = (w.zbias.astype(jnp.float32)
            - 8.0 * w.scales.astype(jnp.float32)).astype(compute_dtype)
     zb = zb4.reshape(ni, gpb, out_f)
-    if gpb < _GPB_PAD:
-        pad = ((0, 0), (0, _GPB_PAD - gpb), (0, 0))
+    if gpb < gpb_pad:
+        pad = ((0, 0), (0, gpb_pad - gpb), (0, 0))
         sc = jnp.pad(sc, pad)
         zb = jnp.pad(zb, pad)
 
@@ -161,8 +196,8 @@ def int4_matmul_s4(x: jax.Array, w: Int4Weight, *, block_in: int = 512,
         in_specs=[
             pl.BlockSpec((s_pad, block_in), lambda oi, ii: (0, ii)),
             pl.BlockSpec((block_in, block_out), lambda oi, ii: (ii, oi)),
-            pl.BlockSpec((1, _GPB_PAD, block_out), lambda oi, ii: (ii, 0, oi)),
-            pl.BlockSpec((1, _GPB_PAD, block_out), lambda oi, ii: (ii, 0, oi)),
+            pl.BlockSpec((1, gpb_pad, block_out), lambda oi, ii: (ii, 0, oi)),
+            pl.BlockSpec((1, gpb_pad, block_out), lambda oi, ii: (ii, 0, oi)),
         ],
         out_specs=pl.BlockSpec((s_pad, block_out), lambda oi, ii: (0, oi)),
         scratch_shapes=[pltpu.VMEM((s_pad, block_out), jnp.float32)],
