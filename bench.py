@@ -121,9 +121,9 @@ def main():
             activation="silu_glu", norm_eps=1e-5)
         num_slots = int(_os.environ.get("BENCH_SLOTS", "16"))
         max_seq, dtype = 512, jnp.bfloat16   # shorter ctx: 7B KV is 268MB/slot
-        steps, warmup = 64, 32
+        steps, warmup = 128, 64
         hbm_bw = 819e9
-        decode_chunk = int(_os.environ.get("DECODE_CHUNK", "32"))
+        decode_chunk = int(_os.environ.get("DECODE_CHUNK", "64"))
     elif on_tpu:
         # TinyLlama-1.1B shape (BASELINE.md measurement ladder step 2)
         spec = DecoderSpec(
@@ -203,6 +203,10 @@ def main():
                                       num_pages=pool_pages)
     else:
         engine = InferenceEngine(spec, params, config, eos_token_id=2)
+    # the engine re-stores quantized weights (fused + lane-major); dropping
+    # the constructor tree frees the original packed buffers (~3.5 GB on
+    # 7B INT4 — keeping them OOMs the 16 GB chip at the prefill peak)
+    del params
 
     rng = np.random.default_rng(0)
     prompt_len = 64
@@ -259,7 +263,8 @@ def main():
     # the active KV prefix per slot
     param_bytes = sum(
         int(np.prod(a.shape)) * a.dtype.itemsize
-        for a in jax.tree_util.tree_leaves(params))
+        for a in jax.tree_util.tree_leaves(engine.model_params)
+        if hasattr(a, "shape"))
     ctx = prompt_len + steps
     kv_bytes = (spec.num_layers * 2 * num_slots * ctx
                 * spec.num_kv_heads * spec.head_dim * np.dtype(dtype).itemsize)

@@ -150,6 +150,144 @@ def rows_kernel(x, w_rows, sc, zb, block_in=512, block_out=1024):
     )(x, w_rows, scb, zbb)
 
 
+# ---- lane: int32 lane-major packed, in-kernel shift/mask unpack ----------
+
+def _k_lane(x_ref, qw_ref, sc_ref, zb_ref, o_ref, acc_ref, *,
+            block_in, groupsize):
+    """qw_ref [BI, BO/8] int32, 8 OUT-neighbors per word little-nibble.
+    The unpack reshape [BI, BO/8, 8] -> [BI, BO] merges MINOR dims (both in
+    lanes), unlike the row-major kernel's cross-sublane merge."""
+    ii = pl.program_id(1)
+    ni = pl.num_programs(1)
+    gpb = block_in // groupsize
+
+    @pl.when(ii == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qw = qw_ref[...]                                  # [BI, BO/8] int32
+    shifts = 4 * jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2)
+    q = ((qw[:, :, None] >> shifts) & 0xF) - 8        # [BI, BO/8, 8]
+    w = q.reshape(qw.shape[0], qw.shape[1] * 8).astype(jnp.bfloat16)
+    bo = w.shape[1]
+    sc = sc_ref[0, :gpb, :]
+    zb = zb_ref[0, :gpb, :]
+    x = x_ref[...].astype(jnp.bfloat16)
+    xg = x.reshape(x.shape[0], gpb, groupsize)
+    wg = w.reshape(gpb, groupsize, bo)
+    acc = jnp.zeros_like(acc_ref)
+    for g in range(gpb):
+        partial = jax.lax.dot_general(
+            xg[:, g, :], wg[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = acc + partial * sc[g][None, :].astype(jnp.float32)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)
+    acc = acc - jax.lax.dot_general(
+        xsum, zb.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
+
+    @pl.when(ii == ni - 1)
+    def _finish():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def lane_kernel(x, qw_lane, sc, zb, block_in=512, block_out=1024):
+    s, in_f = x.shape
+    out_f = qw_lane.shape[1] * 8
+    gpb = block_in // GS
+    ni, no = in_f // block_in, out_f // block_out
+    scb = sc.reshape(ni, gpb, out_f)
+    zbb = zb.reshape(ni, gpb, out_f)
+    if gpb < 8:
+        scb = jnp.pad(scb, ((0, 0), (0, 8 - gpb), (0, 0)))
+        zbb = jnp.pad(zbb, ((0, 0), (0, 8 - gpb), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(no, ni),
+        in_specs=[
+            pl.BlockSpec((s, block_in), lambda oi, ii: (0, ii)),
+            pl.BlockSpec((block_in, block_out // 8), lambda oi, ii: (ii, oi)),
+            pl.BlockSpec((1, 8, block_out), lambda oi, ii: (ii, 0, oi)),
+            pl.BlockSpec((1, 8, block_out), lambda oi, ii: (ii, 0, oi)),
+        ],
+        out_specs=pl.BlockSpec((s, block_out), lambda oi, ii: (0, oi)),
+        scratch_shapes=[pltpu.VMEM((s, block_out), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_k_lane, block_in=block_in, groupsize=GS),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, out_f), x.dtype),
+    )(x, qw_lane, scb, zbb)
+
+
+# ---- scalew: dequant + pre-scale in VMEM, ONE deep dot per block ---------
+
+def _k_scalew(x_ref, w4_ref, sc_ref, zb_ref, o_ref, acc_ref, *,
+              block_in, groupsize):
+    """Instead of one MXU dot per 128-row group (gpb small dots, latency-
+    bound at S=16), dequantize AND scale the whole [BI, BO] block on the
+    VPU, then contract the full BI depth in a single dot."""
+    ii = pl.program_id(1)
+    ni = pl.num_programs(1)
+    gpb = block_in // groupsize
+
+    @pl.when(ii == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w4_ref[...].astype(jnp.bfloat16)              # [BI, BO]
+    bo = w.shape[1]
+    sc = sc_ref[0, :gpb, :]                           # [GPB, BO]
+    w = (w.reshape(gpb, groupsize, bo)
+         * sc[:, None, :].astype(jnp.bfloat16)).reshape(block_in, bo)
+    x = x_ref[...].astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [S, BO]
+    zb = zb_ref[0, :gpb, :]
+    xg = x.reshape(x.shape[0], gpb, groupsize)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)
+    acc = acc - jax.lax.dot_general(
+        xsum, zb.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
+
+    @pl.when(ii == ni - 1)
+    def _finish():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def scalew_kernel(x, w4, sc, zb, block_in=2048, block_out=2048):
+    s, in_f = x.shape
+    out_f = w4.shape[1]
+    gpb = block_in // GS
+    gpb_pad = -(-gpb // 8) * 8
+    ni, no = in_f // block_in, out_f // block_out
+    scb = sc.reshape(ni, gpb, out_f)
+    zbb = zb.reshape(ni, gpb, out_f)
+    if gpb < gpb_pad:
+        scb = jnp.pad(scb, ((0, 0), (0, gpb_pad - gpb), (0, 0)))
+        zbb = jnp.pad(zbb, ((0, 0), (0, gpb_pad - gpb), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(no, ni),
+        in_specs=[
+            pl.BlockSpec((s, block_in), lambda oi, ii: (0, ii)),
+            pl.BlockSpec((block_in, block_out), lambda oi, ii: (ii, oi)),
+            pl.BlockSpec((1, gpb_pad, block_out), lambda oi, ii: (ii, 0, oi)),
+            pl.BlockSpec((1, gpb_pad, block_out), lambda oi, ii: (ii, 0, oi)),
+        ],
+        out_specs=pl.BlockSpec((s, block_out), lambda oi, ii: (0, oi)),
+        scratch_shapes=[pltpu.VMEM((s, block_out), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_k_scalew, block_in=block_in, groupsize=GS),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, out_f), x.dtype),
+    )(x, w4, scb, zbb)
+
+
 # ---- bitcast: int32 lane-major packed, in-kernel bitcast -----------------
 
 def _k_bitcast(x_ref, qw_ref, sc_ref, zb_ref, o_ref, acc_ref, *,
@@ -282,6 +420,15 @@ def main():
                 def f(x, w8, s_, z_):
                     return rows_kernel(x, w8.astype(jnp.int4), s_, z_)
                 ms = _time(f, x, w8, sc, zb)
+            elif variant == "lane":
+                qw = jnp.asarray(rng.integers(
+                    -2**31, 2**31, size=(IN_F, OUT_F // 8),
+                    dtype=np.int64).astype(np.int32))
+                sc = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+                zb = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+                ms = _time(lane_kernel, x, qw, sc, zb)
             elif variant == "bitcast":
                 qw = jnp.asarray(rng.integers(
                     -2**31, 2**31, size=(IN_F, OUT_F // 8),
@@ -293,6 +440,30 @@ def main():
                 ms = _time(bitcast_kernel, x, qw, sc, zb)
             elif variant == "pallas4p":
                 ms = _probe_persistent_s4()
+            elif variant == "reals4":
+                from text_generation_inference_tpu.ops.pallas.int4_matmul \
+                    import int4_matmul_s4
+                from text_generation_inference_tpu.ops import linear as lo
+
+                w = make_int4weight(rng)
+
+                def f(x, qw, sc, zb):
+                    ww = lo.prepare_params(
+                        w._replace(qweight=qw, scales=sc, zbias=zb))
+                    return int4_matmul_s4(x, ww)
+                ms = _time(f, x, w.qweight, w.scales, w.zbias)
+            elif variant == "scalew":
+                w8 = jnp.asarray(rng.integers(
+                    -8, 8, size=(IN_F, OUT_F), dtype=np.int64)
+                    .astype(np.int8))
+                sc = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+                zb = jnp.asarray(rng.normal(
+                    size=(IN_F // GS, OUT_F)).astype(np.float32))
+
+                def f(x, w8, s_, z_):
+                    return scalew_kernel(x, w8.astype(jnp.int4), s_, z_)
+                ms = _time(f, x, w8, sc, zb)
             else:
                 raise ValueError(variant)
             results[variant] = round(ms, 4)

@@ -112,6 +112,44 @@ class TestNativeS4:
         y_s4 = np.asarray(matmul_dequant(x, populate_q4(w)))
         np.testing.assert_allclose(y_s4, y_packed, rtol=1e-5, atol=1e-5)
 
+    def test_lane_pack_roundtrip(self):
+        from text_generation_inference_tpu.ops.quant.int4 import (
+            pack_lane, unpack_lane)
+
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.integers(0, 16, size=(64, 128)), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(unpack_lane(pack_lane(q))), np.asarray(q))
+
+    def test_to_lane_matches_row_major_q4(self):
+        from text_generation_inference_tpu.ops.quant.int4 import (
+            populate_q4, to_lane)
+
+        w = self._weight(seed=5)
+        wl = to_lane(w)
+        assert wl.qweight is None and wl.qlane is not None
+        assert wl.in_features == w.in_features
+        assert wl.out_features == w.out_features
+        q4_row = np.asarray(populate_q4(w).q4, np.int8)
+        q4_lane = np.asarray(populate_q4(wl).q4, np.int8)
+        np.testing.assert_array_equal(q4_lane, q4_row)
+
+    def test_to_lane_stacked(self):
+        from text_generation_inference_tpu.ops.quant.int4 import (
+            Int4Weight, populate_q4, to_lane)
+
+        w0, w1 = self._weight(seed=8), self._weight(seed=9)
+        stacked = Int4Weight(
+            qweight=jnp.stack([w0.qweight, w1.qweight]),
+            qzeros=jnp.stack([w0.qzeros, w1.qzeros]),
+            scales=jnp.stack([w0.scales, w1.scales]),
+            g_idx=jnp.stack([w0.g_idx, w1.g_idx]),
+            perm=None,
+            zbias=jnp.stack([w0.zbias, w1.zbias]))
+        q4_row = np.asarray(populate_q4(stacked).q4, np.int8)
+        q4_lane = np.asarray(populate_q4(to_lane(stacked)).q4, np.int8)
+        np.testing.assert_array_equal(q4_lane, q4_row)
+
     def test_populate_q4_stacked(self):
         from text_generation_inference_tpu.ops.quant.int4 import (
             Int4Weight, dequantize, dequantize_s4, populate_q4)

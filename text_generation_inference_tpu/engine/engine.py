@@ -230,10 +230,13 @@ def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
                   slots: jax.Array,      # [N]
                   prefix_len: jax.Array,                      # [N] i32
                   prefix_embeds: Optional[jax.Array] = None): # [N, B, D]
-    # NOTE: no prepare_params here — prefill amortizes the packed kernel's
-    # unpack over the whole bucket (compute-bound), and skipping the s4
-    # conversion keeps the transient q4 copy out of prefill's activation
-    # peak (7B INT4 would OOM 16G HBM otherwise)
+    # NOTE: no prepare_params here. Row-major int4 storage uses the packed
+    # kernel directly (amortized over the compute-bound bucket). Lane-major
+    # storage converts PER LAYER inside the scan: the layer scan slices the
+    # stacked qlane leaves, so linops.matmul's in-trace populate_q4 touches
+    # one layer's weights at a time (~100 MB transient on 7B vs a 3.4 GB
+    # whole-tree q4 copy, which OOMs 16 GB HBM at the prefill peak). Each
+    # weight still converts exactly once per prefill dispatch.
     n, b = ids.shape
     t_max = state.history.shape[1]
     logits_all, cache = core.prefill(
@@ -299,6 +302,7 @@ class InferenceEngine:
             from ..models.fuse import fuse_params
 
             params = fuse_params(spec, params)
+        params = linops.prepare_storage(params)   # int4 -> lane-major once
         self.model_params = params
         self.config = config
         self.eos_token_id = eos_token_id

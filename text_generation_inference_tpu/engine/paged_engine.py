@@ -158,7 +158,8 @@ def _paged_prefill_step(spec: DecoderSpec, eos_id: int, page_size: int,
                         ids: jax.Array, lengths: jax.Array, slots: jax.Array,
                         prefix_len: jax.Array,
                         prefix_embeds: Optional[jax.Array] = None):
-    # no prepare_params in prefill (see engine._prefill_step note)
+    # no prepare_params in prefill: lane-major int4 converts per layer
+    # inside the scan instead (see engine._prefill_step note)
     n, b = ids.shape
     t_max = state.history.shape[1]
     logits_all, cache = paged_core.prefill_paged(
@@ -208,6 +209,7 @@ class PagedInferenceEngine:
             from ..models.fuse import fuse_params
 
             params = fuse_params(spec, params)
+        params = linops.prepare_storage(params)   # int4 -> lane-major once
         self.model_params = params
         self.config = config
         self.eos_token_id = eos_token_id

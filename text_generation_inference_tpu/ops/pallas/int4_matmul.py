@@ -86,11 +86,18 @@ def _kernel_s4(x_ref,        # [S, BI]
                zb_ref,       # [1, GPB_PAD, BO]  (zbias - 8*scale)
                o_ref,        # [S, BO]
                acc_ref,      # VMEM [S, BO] f32
-               *, block_in: int, groupsize: int, compute_dtype):
+               *, block_in: int, groupsize: int, compute_dtype,
+               prescale: bool = True):
     """Native-s4 fused dequant+matmul: Mosaic reads the int4 array with no
     manual nibble unpack (the packed-int32 kernel's [BI/8, 8, BO] ->
     [BI, BO] reshape crosses sublanes and costs a full vector relayout —
-    measured ~12x slower than this on v5e at the 4096x12288 shape)."""
+    measured ~12x slower than this on v5e at the 4096x12288 shape).
+
+    prescale=True multiplies the dequantized block by its per-group scales
+    on the VPU and contracts the full BI depth in ONE MXU dot; False keeps
+    one dot per 128-row group with the scale FMA on the [S, BO] partials
+    (fewer VPU ops, but gpb small dots are MXU-latency-bound at decode
+    batch sizes)."""
     ii = pl.program_id(1)
     ni = pl.num_programs(1)
     gpb = block_in // groupsize
@@ -105,13 +112,21 @@ def _kernel_s4(x_ref,        # [S, BI]
     zb = zb_ref[0, :gpb, :]
     x = x_ref[...].astype(compute_dtype)
     xg = x.reshape(x.shape[0], gpb, groupsize)
-    wg = w.reshape(gpb, groupsize, bo)
-    acc = jnp.zeros_like(acc_ref)
-    for g in range(gpb):
-        partial = jax.lax.dot_general(
-            xg[:, g, :], wg[g], (((1,), (0,)), ((), ())),
+    if prescale:
+        ws = (w.reshape(gpb, groupsize, bo)
+              * sc[:, None, :].astype(compute_dtype)
+              ).reshape(block_in, bo)
+        acc = jax.lax.dot_general(
+            x, ws, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # [S, BO]
-        acc = acc + partial * sc[g][None, :].astype(jnp.float32)
+    else:
+        wg = w.reshape(gpb, groupsize, bo)
+        acc = jnp.zeros_like(acc_ref)
+        for g in range(gpb):
+            partial = jax.lax.dot_general(
+                xg[:, g, :], wg[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [S, BO]
+            acc = acc + partial * sc[g][None, :].astype(jnp.float32)
     xsum = jnp.sum(xg.astype(jnp.float32), axis=2)     # [S, GPB]
     acc = acc - jax.lax.dot_general(
         xsum, zb.astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -123,17 +138,31 @@ def _kernel_s4(x_ref,        # [S, BI]
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _auto_blocks(in_f: int, out_f: int, groupsize: int) -> tuple[int, int]:
+def _auto_blocks(in_f: int, out_f: int, groupsize: int,
+                 s_pad: int) -> tuple[int, int]:
     """Pick (block_in, block_out) minimizing the grid-iteration count under
-    a VMEM weight-block budget. Per-iteration fixed cost dominates decode
+    a VMEM working-set budget. Per-iteration fixed cost dominates decode
     matmuls at small batch (S=16 rows): the legacy 512x1024 blocking ran a
     7B decode step in ~15k grid iterations (~15 ms of pure overhead);
     budget-capped maximal blocks cut that ~15x. Divisor-constrained: both
-    blocks must divide their axes (block_in a multiple of groupsize)."""
+    blocks must divide their axes (block_in a multiple of groupsize). The
+    estimate covers double-buffered q4/x/out/scale blocks plus the f32
+    accumulator, so large-row (prefill) dispatches shrink blocks instead
+    of blowing the ~16 MB scoped-vmem stack limit."""
     import os
 
-    budget = int(os.getenv("INT4_BLOCK_BUDGET", str(8 * 1024 * 1024)))
+    budget = int(os.getenv("INT4_BLOCK_BUDGET", str(12 * 1024 * 1024)))
     cap_out = int(os.getenv("INT4_BLOCK_OUT", "8192"))
+
+    def vmem_bytes(bi, bo):
+        gpb_pad = -(-(bi // groupsize) // _GPB_PAD) * _GPB_PAD
+        return (bi * bo                      # q4 nibbles, double-buffered
+                + bi * bo * 2                # dequantized bf16 block temp
+                + 2 * s_pad * bi * 2         # x blocks (bf16, dbl)
+                + 2 * s_pad * bo * 2         # out blocks (dbl)
+                + s_pad * bo * 4             # f32 accumulator
+                + 4 * gpb_pad * bo * 2)      # sc + zb (bf16, dbl)
+
     if out_f % 128 != 0:
         bo_candidates = [out_f]
     else:
@@ -141,12 +170,20 @@ def _auto_blocks(in_f: int, out_f: int, groupsize: int) -> tuple[int, int]:
                          if out_f % d == 0]
     best = None
     for bo in bo_candidates:
-        bi = _largest_divisor(in_f, groupsize,
-                              min(max(budget // bo, groupsize), in_f))
+        bi = groupsize
+        d = groupsize
+        while d <= in_f:
+            if in_f % d == 0 and vmem_bytes(d, bo) <= budget:
+                bi = d
+            d += groupsize
+        if vmem_bytes(bi, bo) > budget:
+            continue
         iters = (in_f // bi) * (out_f // bo)
         key = (iters, -bo)
         if best is None or key < best[0]:
             best = (key, bi, bo)
+    if best is None:                         # tiny budget: smallest blocks
+        return groupsize, (128 if out_f % 128 == 0 else out_f)
     return best[1], best[2]
 
 
@@ -165,7 +202,8 @@ def int4_matmul_s4(x: jax.Array, w: Int4Weight, *,
     groups = w.scales.shape[0]
     groupsize = in_f // groups
     if block_in is None and block_out is None:
-        block_in, block_out = _auto_blocks(in_f, out_f, groupsize)
+        block_in, block_out = _auto_blocks(in_f, out_f, groupsize,
+                                           max(8, -(-s // 8) * 8))
     else:
         block_in = _largest_divisor(in_f, groupsize,
                                     min(block_in or 512, in_f))
@@ -202,9 +240,15 @@ def int4_matmul_s4(x: jax.Array, w: Int4Weight, *,
         out_specs=pl.BlockSpec((s_pad, block_out), lambda oi, ii: (0, oi)),
         scratch_shapes=[pltpu.VMEM((s_pad, block_out), jnp.float32)],
     )
+    import os
+
+    # measured on v5e (7B noattn probe): prescale 18.4 vs group-dot
+    # 15.7 ms/step — the whole-block VPU scale costs more than the
+    # per-group small dots save; default stays group-dot
+    prescale = os.getenv("INT4_PRESCALE", "0").lower() not in ("0", "false")
     kernel = pl.pallas_call(
         functools.partial(_kernel_s4, block_in=block_in, groupsize=groupsize,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype, prescale=prescale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s_pad, out_f), x.dtype),
         interpret=interpret,

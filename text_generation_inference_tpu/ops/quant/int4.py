@@ -46,17 +46,30 @@ class Int4Weight(NamedTuple):
     # Populated by populate_q4(); qweight/qzeros are dropped then to free
     # HBM. Dequant: w = q4 * scale - (zbias - 8 * scale).
     q4: jax.Array | None = None
+    # LANE-major packed persistence [in, out/8] int32 (8 OUT-neighbors per
+    # word, little-nibble). s4 arrays cannot cross jit boundaries on every
+    # backend, so q4 is rebuilt inside each consuming jit — from qlane that
+    # rebuild is shift/mask + a free minor-dim reshape, where the GPTQ
+    # row-major layout costs a full cross-sublane relayout (~80 ms per 7B
+    # conversion vs ~10). Populated once at load by ops.linear
+    # .prepare_storage(); qweight/qzeros are dropped then.
+    qlane: jax.Array | None = None
 
     @property
     def in_features(self) -> int:
         if self.qweight is not None:
             return self.qweight.shape[-2] * 8
+        if self.qlane is not None:
+            return self.qlane.shape[-2]
         return self.q4.shape[-2]
 
     @property
     def out_features(self) -> int:
-        return (self.qweight if self.qweight is not None
-                else self.q4).shape[-1]
+        if self.qweight is not None:
+            return self.qweight.shape[-1]
+        if self.qlane is not None:
+            return self.qlane.shape[-1] * 8
+        return self.q4.shape[-1]
 
 
 def compute_zbias(w: Int4Weight) -> Int4Weight:
@@ -94,20 +107,29 @@ def normalize_act_order(qweight: np.ndarray, qzeros: np.ndarray,
 
 def populate_q4(w: Int4Weight) -> Int4Weight:
     """Convert to the native-s4 representation (see Int4Weight.q4); the
-    packed qweight/qzeros are dropped to free their HBM. Requires zbias
-    (compute_zbias) — every loader/quantizer populates it."""
+    packed source is dropped to free its HBM. Prefers the lane-major qlane
+    source (relayout-free unpack); falls back to the GPTQ row-major
+    qweight. Requires zbias (compute_zbias) — every loader/quantizer
+    populates it."""
     assert w.zbias is not None, "populate_q4 requires zbias"
 
-    def one(qw):
-        q = unpack_rows(qw) - 8                   # center into s4 range
-        return q.astype(jnp.int8).astype(jnp.int4)
+    if w.qlane is not None:
+        def one(ql):
+            q = unpack_lane(ql) - 8               # center into s4 range
+            return q.astype(jnp.int8).astype(jnp.int4)
 
-    if w.qweight.ndim == 3:                       # stacked layers [L, ...]
-        q4 = jnp.stack([one(w.qweight[i])
-                        for i in range(w.qweight.shape[0])])
+        src = w.qlane
     else:
-        q4 = one(w.qweight)
-    return w._replace(q4=q4, qweight=None, qzeros=None)
+        def one(qw):
+            q = unpack_rows(qw) - 8
+            return q.astype(jnp.int8).astype(jnp.int4)
+
+        src = w.qweight
+    if src.ndim == 3:                             # stacked layers [L, ...]
+        q4 = jnp.stack([one(src[i]) for i in range(src.shape[0])])
+    else:
+        q4 = one(src)
+    return w._replace(q4=q4, qweight=None, qzeros=None, qlane=None)
 
 
 def dequantize_s4(w: Int4Weight, dtype=jnp.bfloat16) -> jax.Array:
@@ -123,6 +145,41 @@ def unpack_rows(packed: jax.Array) -> jax.Array:
     shifts = (4 * jnp.arange(8, dtype=jnp.int32))[None, :, None]
     u = (packed[:, None, :] >> shifts) & 0xF
     return u.reshape(packed.shape[0] * 8, packed.shape[1])
+
+
+def unpack_lane(qlane: jax.Array) -> jax.Array:
+    """[n, m/8] int32 → [n, m] int32 of 4-bit values (lane-packed: 8
+    column-neighbors per word, little-nibble). The final reshape merges
+    MINOR dims only — no relayout, unlike unpack_rows."""
+    shifts = (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :]
+    u = (qlane[:, :, None] >> shifts) & 0xF       # [n, m/8, 8]
+    return u.reshape(qlane.shape[0], qlane.shape[1] * 8)
+
+
+def pack_lane(q: jax.Array) -> jax.Array:
+    """[n, m] 4-bit values → [n, m/8] int32 lane-packed (unpack_lane
+    inverse). int32 wrap on the top nibble is intended (disjoint bits)."""
+    qw = q.astype(jnp.int32).reshape(q.shape[0], q.shape[1] // 8, 8)
+    shifts = (4 * jnp.arange(8, dtype=jnp.int32))[None, None, :]
+    return jnp.sum(qw << shifts, axis=-1).astype(jnp.int32)
+
+
+def to_lane(w: Int4Weight) -> Int4Weight:
+    """One-time storage conversion GPTQ row-major → lane-major (see
+    Int4Weight.qlane). Pays the row-unpack relayout once at load instead
+    of on every consuming jit dispatch."""
+    if w.qlane is not None or w.qweight is None:
+        return w
+
+    def one(qw):
+        return pack_lane(unpack_rows(qw))
+
+    if w.qweight.ndim == 3:
+        qlane = jnp.stack([one(w.qweight[i])
+                           for i in range(w.qweight.shape[0])])
+    else:
+        qlane = one(w.qweight)
+    return w._replace(qlane=qlane, qweight=None, qzeros=None)
 
 
 def unpack_cols(packed: jax.Array) -> jax.Array:
