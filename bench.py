@@ -131,7 +131,9 @@ def main():
             num_heads=32, num_kv_heads=4, head_dim=64,
             intermediate_size=5632, pos="rope", norm="rmsnorm",
             activation="silu_glu", norm_eps=1e-5)
-        num_slots = int(__import__("os").environ.get("BENCH_SLOTS", "48"))
+        # 64 slots: 12183 tok/s vs 9959 at 48 (ring decode removed the
+        # per-step scatter that made S>48 regress in round 1)
+        num_slots = int(__import__("os").environ.get("BENCH_SLOTS", "64"))
         max_seq, dtype = 1024, jnp.bfloat16
         steps, warmup = 128, 64
         hbm_bw = 819e9      # v5e ~819 GB/s
