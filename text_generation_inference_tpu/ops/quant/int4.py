@@ -230,6 +230,42 @@ def quantize_rtn(weight: np.ndarray, groupsize: int = 128) -> Int4Weight:
     ))
 
 
+def quantize_stacked_rtn(weight, groupsize: int = 128) -> Int4Weight:
+    """[(L,) in, out] float → stacked Int4Weight (per-layer RTN, same
+    stacked layout as models/families._stack_linear produces from GPTQ
+    checkpoints). Used by tests, the multichip dry run, and the
+    quantize=int4 on-the-fly path."""
+    w = np.asarray(weight, np.float32)
+    if w.ndim == 2:
+        return quantize_rtn(w, groupsize)
+    per = [quantize_rtn(w[i], groupsize) for i in range(w.shape[0])]
+    return Int4Weight(
+        qweight=jnp.stack([p.qweight for p in per]),
+        qzeros=jnp.stack([p.qzeros for p in per]),
+        scales=jnp.stack([p.scales for p in per]),
+        g_idx=jnp.stack([p.g_idx for p in per]),
+        perm=None,
+        zbias=jnp.stack([p.zbias for p in per]),
+    )
+
+
+def quantize_layer_params_int4(params: dict, groupsize: int = 128) -> dict:
+    """Quantize every stacked linear in params['layers'] to Int4Weight
+    (embeddings / lm_head / norms stay full precision, matching the
+    reference's GPTQ layer placement — reference: utils/layers.py:172-203
+    routes only Linear weights through QuantLinear)."""
+    from .int8 import LINEAR_KEYS
+
+    out = dict(params)
+    lp = dict(params["layers"])
+    for k in list(lp):
+        if k in LINEAR_KEYS and isinstance(lp[k], jax.Array):
+            lp[k] = quantize_stacked_rtn(np.asarray(lp[k], np.float32),
+                                         groupsize)
+    out["layers"] = lp
+    return out
+
+
 def pack_rows(q: np.ndarray) -> np.ndarray:
     """[in, out] 4-bit values → [in/8, out] int32."""
     in_f, out_f = q.shape

@@ -33,6 +33,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.core import DecoderSpec, KVCache
+from ..ops.quant.int4 import Int4Weight
+from ..ops.quant.int8 import Int8Weight
 
 
 def make_mesh(model_parallel: Optional[int] = None,
@@ -52,8 +54,101 @@ def _shardable(dim: int, mesh: Mesh) -> bool:
     return dim % mesh.shape["model"] == 0
 
 
+def _quant_leaf_specs(arr, kind: str, ms: int):
+    """Per-field PartitionSpecs for a quantized weight leaf.
+
+    The reference shards GPTQ tensors field-by-field at load time
+    (reference: server/.../utils/weights.py:115-201 — column loading slices
+    qweight/qzeros/scales on the output dim, row loading slices qweight on
+    the packed input dim and scales/qzeros on the group dim, g_idx stays
+    whole). Here the same rules become per-field PartitionSpecs on the
+    "model" mesh axis; GSPMD inserts the collectives. g_idx and the
+    act-order input permutation stay replicated (the perm gathers the
+    *global* activation vector — the analogue of the reference's
+    act-order×TP special-casing at weights.py:150-156, which keeps a
+    whole-tensor view for the shuffle).
+
+    `kind` is "col" (shard out dim), "row" (shard in dim) or "repl".
+    Falls back to full replication when any field's sharded dim does not
+    divide the mesh axis (mirroring the dense col_or_repl/row_or_repl
+    fallbacks).
+    """
+    def lead(field):
+        # stacked loaders put a leading [L] layer dim on every field
+        return (None,) * (field.ndim - 2)
+
+    def lead1(field):
+        return (None,) * (field.ndim - 1)
+
+    if isinstance(arr, Int8Weight):
+        # q [(L,) in, out] int8; scale [(L,) out] f32
+        if kind == "col" and arr.out_features % ms == 0:
+            return Int8Weight(q=P(*lead(arr.q), None, "model"),
+                              scale=P(*lead1(arr.scale), "model"))
+        if kind == "row" and arr.in_features % ms == 0:
+            return Int8Weight(q=P(*lead(arr.q), "model", None),
+                              scale=P(*lead1(arr.scale), None))
+        return Int8Weight(q=P(*lead(arr.q), None, None),
+                          scale=P(*lead1(arr.scale), None))
+
+    # Int4Weight; groups = scales.shape[-2]
+    w: Int4Weight = arr
+    groups = w.scales.shape[-2]
+
+    def fs(field, *tail):
+        return None if field is None else P(*lead(field), *tail)
+
+    def fs1(field, *tail):
+        return None if field is None else P(*lead1(field), *tail)
+
+    col_ok = kind == "col" and w.out_features % (8 * ms) == 0
+    # row split must be group-aligned so scales/qzeros/zbias shard with the
+    # same boundaries (in = groups*groupsize; groups % ms == 0 implies the
+    # per-shard row range covers whole groups)
+    row_ok = (kind == "row" and groups % ms == 0
+              and (w.in_features // 8) % ms == 0)
+    if col_ok:
+        return Int4Weight(
+            qweight=fs(w.qweight, None, "model"),
+            qzeros=fs(w.qzeros, None, "model"),
+            scales=fs(w.scales, None, "model"),
+            g_idx=fs1(w.g_idx, None),
+            perm=fs1(w.perm, None),
+            zbias=fs(w.zbias, None, "model"),
+            q4=fs(w.q4, None, "model"),
+            qlane=fs(w.qlane, None, "model"),
+        )
+    if row_ok:
+        return Int4Weight(
+            qweight=fs(w.qweight, "model", None),
+            qzeros=fs(w.qzeros, "model", None),
+            scales=fs(w.scales, "model", None),
+            g_idx=fs1(w.g_idx, None),
+            perm=fs1(w.perm, None),
+            zbias=fs(w.zbias, "model", None),
+            q4=fs(w.q4, "model", None),
+            qlane=fs(w.qlane, "model", None),
+        )
+    return Int4Weight(
+        qweight=fs(w.qweight, None, None),
+        qzeros=fs(w.qzeros, None, None),
+        scales=fs(w.scales, None, None),
+        g_idx=fs1(w.g_idx, None),
+        perm=fs1(w.perm, None),
+        zbias=fs(w.zbias, None, None),
+        q4=fs(w.q4, None, None),
+        qlane=fs(w.qlane, None, None),
+    )
+
+
+def _is_quant(x) -> bool:
+    return isinstance(x, (Int4Weight, Int8Weight))
+
+
 def param_specs(spec: DecoderSpec, params: dict, mesh: Mesh) -> dict:
-    """PartitionSpec pytree matching the model param structure."""
+    """PartitionSpec pytree matching the model param structure. Quantized
+    (Int4Weight/Int8Weight) leaves expand to a matching NamedTuple of
+    per-field specs (see _quant_leaf_specs)."""
     ms = mesh.shape["model"]
     col = P(None, None, "model")
     row = P(None, "model", None)
@@ -61,10 +156,19 @@ def param_specs(spec: DecoderSpec, params: dict, mesh: Mesh) -> dict:
     repl1 = P(None)
 
     def col_or_repl(arr):
+        if _is_quant(arr):
+            return _quant_leaf_specs(arr, "col", ms)
         return col if arr.shape[-1] % ms == 0 else P(None, None, None)
 
     def row_or_repl(arr):
+        if _is_quant(arr):
+            return _quant_leaf_specs(arr, "row", ms)
         return row if arr.shape[1] % ms == 0 else P(None, None, None)
+
+    def repl_like(arr):
+        if _is_quant(arr):
+            return _quant_leaf_specs(arr, "repl", ms)
+        return P(*([None] * arr.ndim))
 
     q_ok = spec.num_heads % ms == 0
     kv_ok = spec.num_kv_heads % ms == 0
@@ -74,14 +178,15 @@ def param_specs(spec: DecoderSpec, params: dict, mesh: Mesh) -> dict:
     for name, arr in lp.items():
         if name in ("wq", "w_gate", "w_up"):
             layer_specs[name] = col_or_repl(arr) if (name != "wq" or q_ok) \
-                else P(None, None, None)
+                else repl_like(arr)
         elif name in ("wk", "wv"):
             # shard along whole kv heads only; splitting inside a head's
             # feature dim (MQA/GQA with few heads) hurts attention layout
-            layer_specs[name] = col if kv_ok else P(None, None, None)
+            layer_specs[name] = col_or_repl(arr) if kv_ok else repl_like(arr)
         elif name in ("wo", "w_down"):
             if name == "wo":
-                layer_specs[name] = row if q_ok else P(None, None, None)
+                layer_specs[name] = row_or_repl(arr) if q_ok \
+                    else repl_like(arr)
             else:
                 layer_specs[name] = row_or_repl(arr)
         elif name in ("bq", "b_gate", "b_up"):
@@ -94,7 +199,7 @@ def param_specs(spec: DecoderSpec, params: dict, mesh: Mesh) -> dict:
         elif name in ("ln1", "ln2"):
             layer_specs[name] = {k: repl2 for k in arr}
         else:
-            layer_specs[name] = P(*([None] * arr.ndim))
+            layer_specs[name] = repl_like(arr)
 
     out = {
         "embed_tokens": P("model", None)
@@ -119,11 +224,11 @@ def cache_spec(spec: DecoderSpec, mesh: Mesh) -> P:
 
 
 def shard_params(params: dict, specs: dict, mesh: Mesh) -> dict:
+    # flatten fully: quantized NamedTuple leaves in `params` line up with
+    # the matching NamedTuple-of-specs nodes from _quant_leaf_specs
     return jax.tree_util.tree_map(
         lambda arr, s: jax.device_put(arr, NamedSharding(mesh, s)),
-        params, specs,
-        is_leaf=lambda x: not isinstance(x, dict),
-    )
+        params, specs)
 
 
 def shard_cache(cache: KVCache, spec: DecoderSpec, mesh: Mesh) -> KVCache:
