@@ -345,3 +345,74 @@ class TestCtxBuckets:
         cfg2 = ServingConfig(max_sequence_length=64, max_new_tokens=32)
         cfg2.validate()
         assert cfg2.decode_ctx_buckets == [64]
+
+
+class TestWarmupCoverage:
+    """warmup() must pre-compile every (batch, bucket) prefill program the
+    scheduler can emit — the reference probes exactly these boundary shapes
+    (reference: utils/warmup.py:68-152). Round-2 gap: only batch size 1 was
+    warmed, so the first concurrent burst compiled in the serving loop."""
+
+    @pytest.mark.parametrize("paged", [False, True])
+    def test_no_inloop_compiles_after_warmup(self, paged):
+        import asyncio
+
+        from text_generation_inference_tpu.config import ServingConfig
+        from text_generation_inference_tpu.scheduler.batcher import Batcher
+        from text_generation_inference_tpu.scheduler.request import (
+            GenRequest, ResponseOptions, StoppingCriteria)
+
+        model_dir = fixtures.tiny_llama()
+        spec, params = families.load_model(model_dir, dtype=jnp.float32)
+        cfg = ServingConfig(
+            max_sequence_length=64, max_new_tokens=16, max_batch_slots=4,
+            max_prefill_batch=4, prefill_buckets=[8, 16], kv_page_size=8,
+            max_waiting_tokens=2)
+        cfg.validate()
+        if paged:
+            from text_generation_inference_tpu.engine.paged_engine import (
+                PagedInferenceEngine)
+
+            engine = PagedInferenceEngine(spec, params, cfg, eos_token_id=2,
+                                          num_pages=64)
+        else:
+            engine = InferenceEngine(spec, params, cfg, eos_token_id=2)
+        engine.warmup()
+        grid = engine._warmup_batch_grid()
+        assert grid == (1, 2, 4)
+        n_prefill = len(engine._prefill_fns)
+        n_decode = len(engine._decode_fns)
+
+        class TinyTok:
+            eos_token_id = 2
+
+            def decode(self, ids, skip_special_tokens=True):
+                return "".join(f"<{i}>" for i in ids)
+
+            def id_to_token(self, i):
+                return f"<{i}>"
+
+        async def go():
+            b = Batcher(engine, TinyTok(), cfg)
+            b.start()
+            reqs = []
+            # staggered mixed-size submissions: exercises batch sizes 1/2/4
+            # and both buckets via add-on prefills mid-decode
+            for wave, lens in ((0, [5, 5, 5, 5]), (1, [12, 12]), (2, [3])):
+                for ln in lens:
+                    reqs.append(GenRequest(
+                        input_text="x", input_ids=list(range(1, ln + 1)),
+                        params=RequestParams(max_new_tokens=8),
+                        stopping=StoppingCriteria(max_new_tokens=8),
+                        options=ResponseOptions()))
+                for r in reqs[-len(lens):]:
+                    b.submit(r)
+                await asyncio.sleep(0.05)
+            for r in reqs:
+                await asyncio.wait_for(r.result_future, timeout=60)
+            await b.stop()
+
+        asyncio.run(go())
+        assert len(engine._prefill_fns) == n_prefill, \
+            f"in-loop prefill compiles: {set(engine._prefill_fns) - set()}"
+        assert len(engine._decode_fns) == n_decode

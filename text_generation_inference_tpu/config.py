@@ -78,6 +78,12 @@ class ServingConfig:
     # --- engine shape budget (TPU static-shape plan) ---
     max_batch_slots: int = 16                 # decode-step width; one
                                               # compilation serves all loads
+    max_prefill_batch: int = 8                # max requests per prefill
+                                              # dispatch: bounds the prefill
+                                              # activation peak (n x bucket x
+                                              # vocab logits) AND the warmup
+                                              # compile grid (each power-of-2
+                                              # n x bucket is a program)
     decode_chunk: int = 1                     # decode steps per device
                                               # dispatch; >1 amortizes host
                                               # sync (tokens arrive in bursts
@@ -151,6 +157,7 @@ class ServingConfig:
             max_prefill_padding=_env_float("MAX_PREFILL_PADDING", 0.2),
             default_include_stop_seqs=_env_bool("DEFAULT_INCLUDE_STOP_SEQS", True),
             max_batch_slots=_env_int("MAX_BATCH_SLOTS", 16),
+            max_prefill_batch=_env_int("MAX_PREFILL_BATCH", 8),
             decode_chunk=_env_int("DECODE_CHUNK", 1),
             fuse_matmuls=_env_bool("FUSE_MATMULS", True),
             decode_write_mode=_env_str("DECODE_WRITE_MODE", "ring"),

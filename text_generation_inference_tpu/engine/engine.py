@@ -500,7 +500,20 @@ class InferenceEngine:
                 })
         return PrefillResult(first_token=step, prompt_details=prompt_details)
 
-    def warmup(self, batch_sizes: tuple[int, ...] = (1,),
+    def _warmup_batch_grid(self) -> tuple[int, ...]:
+        """The power-of-two prefill batch sizes the scheduler can emit
+        (batcher._pick_prefill_batch rounds down to a power of two and caps
+        at max_prefill_batch), so warmup covers every (n, bucket) program
+        the serving loop will request (reference probes exactly these
+        boundary shapes: utils/warmup.py:68-152)."""
+        cap = min(self.num_slots, self.config.max_prefill_batch)
+        grid, n = [], 1
+        while n <= cap:
+            grid.append(n)
+            n *= 2
+        return tuple(grid)
+
+    def warmup(self, batch_sizes: Optional[tuple[int, ...]] = None,
                include_details: bool = False) -> None:
         """Pre-compile the decode step and the prefill buckets.
 
@@ -509,6 +522,8 @@ class InferenceEngine:
         request on each shape pays the full XLA compile. Runs real dummy
         prefills through slot 0 and then resets all slot state.
         """
+        if batch_sizes is None:
+            batch_sizes = self._warmup_batch_grid()
         t0 = time.monotonic()
         n_compiles = 0
         for bucket in self.config.prefill_buckets:
