@@ -39,10 +39,18 @@ class PagedKVCache(NamedTuple):
                num_slots: int, max_pages_per_slot: int, dtype) -> "PagedKVCache":
         shape = (spec.num_layers, spec.num_kv_heads,
                  num_pages * page_size, spec.head_dim)
+        # unmapped block-table entries carry the out-of-bounds sentinel
+        # `num_pages`, NOT 0: a write routed through an unmapped entry
+        # (e.g. a decode chunk overrunning a finished slot's allocation)
+        # must land out of bounds and be dropped — page 0 is a real
+        # allocatable page and writing it would corrupt whichever live
+        # request owns it. Reads through the sentinel clamp to the pool
+        # edge and are masked by context length.
         return cls(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
-            block_table=jnp.zeros((num_slots, max_pages_per_slot), jnp.int32),
+            block_table=jnp.full((num_slots, max_pages_per_slot),
+                                 num_pages, jnp.int32),
         )
 
     @property

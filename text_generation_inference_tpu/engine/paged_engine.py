@@ -239,8 +239,11 @@ class PagedInferenceEngine:
         # the executor thread (pipelined decode) — guard the pending list
         self._free_lock = threading.Lock()
         self._pending_frees: list[int] = []
-        # host mirror of the block table (avoids a device fetch per prefill)
-        self._bt_host = np.zeros((self.num_slots, max_pages_per_slot), np.int32)
+        # host mirror of the block table (avoids a device fetch per prefill);
+        # unmapped entries carry the OOB sentinel so overrun writes drop
+        # (see PagedKVCache.create)
+        self._bt_host = np.full((self.num_slots, max_pages_per_slot),
+                                num_pages, np.int32)
         # host mirror of history_len (0 = free) for the live-page bucket
         # pick; mutated only on the engine-call thread (see InferenceEngine)
         self._slot_ctx = np.zeros(self.num_slots, np.int32)
@@ -348,15 +351,26 @@ class PagedInferenceEngine:
         self.free_slots = list(range(self.num_slots))
         with self._free_lock:
             self._pending_frees.clear()
-        self._bt_host[:] = 0
+        self._bt_host[:] = self.allocator.num_pages
         self._slot_ctx[:] = 0
         logger.warning("paged engine device state reset (all slots cleared)")
 
-    def warmup(self, batch_sizes: tuple[int, ...] = (1,),
+    def _warmup_batch_grid(self) -> tuple[int, ...]:
+        """See InferenceEngine._warmup_batch_grid."""
+        cap = min(self.num_slots, self.config.max_prefill_batch)
+        grid, n = [], 1
+        while n <= cap:
+            grid.append(n)
+            n *= 2
+        return tuple(grid)
+
+    def warmup(self, batch_sizes: Optional[tuple[int, ...]] = None,
                include_details: bool = False) -> None:
         """Pre-compile prefill buckets + both decode variants (counterpart
         of InferenceEngine.warmup — without it the first requests pay the
         multi-minute XLA compiles)."""
+        if batch_sizes is None:
+            batch_sizes = self._warmup_batch_grid()
         t0 = time.monotonic()
         n_compiles = 0
         for bucket in self.config.prefill_buckets:
@@ -367,6 +381,20 @@ class PagedInferenceEngine:
                     continue
                 slots = list(range(n))
                 prompt_len = min(bucket, self.max_seq - 2)
+                # reserving n full buckets can exceed the pool even though
+                # the (n, bucket) program is reachable at serve time (short
+                # prompts pad to the bucket but reserve fewer pages) — warm
+                # with the shortest prompts that still hit the bucket
+                pages_full = n * self.allocator.pages_needed(prompt_len + 2)
+                if pages_full > self.allocator.num_free:
+                    smaller = [b for b in self.config.prefill_buckets
+                               if b < bucket]
+                    prompt_len = (smaller[-1] + 1) if smaller else 1
+                    if n * self.allocator.pages_needed(prompt_len + 2) \
+                            > self.allocator.num_free:
+                        logger.info("warmup: skipping (n=%d, bucket=%d) — "
+                                    "exceeds pool", n, bucket)
+                        continue
                 ids = [[1] * prompt_len] * n
                 rps = [RequestParams(max_new_tokens=1)] * n
                 for variant in ((False, True) if include_details else (False,)):
@@ -438,7 +466,7 @@ class PagedInferenceEngine:
         self.free_slots.append(slot)
         self.allocator.free(slot)
         # stale page ids in the freed row must never be written through again
-        self._bt_host[slot] = 0
+        self._bt_host[slot] = self.allocator.num_pages
 
     def _apply_pending_frees(self) -> None:
         with self._free_lock:
@@ -473,7 +501,8 @@ class PagedInferenceEngine:
         for slot, total, rp in zip(slots, total_lens, request_params):
             pages = self.allocator.allocate(
                 slot, total + rp.max_new_tokens + 1)
-            row = np.zeros((self.allocator.max_pages_per_slot,), np.int32)
+            row = np.full((self.allocator.max_pages_per_slot,),
+                          self.allocator.num_pages, np.int32)
             row[: len(pages)] = pages
             self._bt_host[slot] = row
             self.set_request_params(slot, rp)

@@ -183,8 +183,8 @@ def gather_dense_view(cache: PagedKVCache, live_pages: int,
             + jnp.arange(page_size, dtype=jnp.int32)[None, None, :]
             ).reshape(s, live_pages * page_size)              # [S, R]
     # pool [L, K, POOL_R, D] --take axis 2--> [L, K, S, R, D] -> [L,S,K,R,D]
-    k = jnp.swapaxes(jnp.take(cache.k, rows, axis=2), 1, 2)
-    v = jnp.swapaxes(jnp.take(cache.v, rows, axis=2), 1, 2)
+    k = jnp.swapaxes(jnp.take(cache.k, rows, axis=2, mode="clip"), 1, 2)
+    v = jnp.swapaxes(jnp.take(cache.v, rows, axis=2, mode="clip"), 1, 2)
     return KVCache(k=k, v=v)
 
 
@@ -333,6 +333,52 @@ def paged_ring_flush(cache: PagedKVCache, kbuf: jax.Array, vbuf: jax.Array,
     return cache._replace(k=new_k, v=new_v)
 
 
+def verify_chunk_paged(
+    spec: DecoderSpec,
+    params: dict,
+    ids: jax.Array,          # [S, C] candidate tokens per slot
+    start_pos: jax.Array,    # [S] position of ids[:, 0]
+    cache: PagedKVCache,
+    page_size: int,
+    active: jax.Array,       # [S] bool
+    max_seq: int,
+    live_pages: Optional[int] = None,
+):
+    """Speculative verification through the block table (the paged
+    counterpart of core.verify_chunk; reference speculates on its paged
+    path only, paged_causal_lm.py:481-563): live pages are gathered to a
+    dense [L,S,K,R,D] view once per verify call (amortized over the C
+    candidate positions, same trade as the dense-gather ring decode),
+    core.verify_chunk runs against the view, and the C chunk positions are
+    flushed back through the block table. Rejected positions are rewound
+    by not advancing history_len — their flushed KV is masked by context
+    length and overwritten by the next chunk (same rewind scheme as the
+    reference's KV-manager child-sequence free + the slot engine).
+
+    Returns ([S, C, V] logits, [S, C, D] hidden, updated cache).
+    """
+    from .core import verify_chunk
+
+    s, c = ids.shape
+    if live_pages is None:
+        live_pages = cache.block_table.shape[1]
+    dense = gather_dense_view(cache, live_pages, page_size)
+    logits, hidden, new_dense = verify_chunk(spec, params, ids, start_pos,
+                                             dense)
+    # pull the C chunk rows back out of the dense view -> [L, S, K, C, D]
+    rows = jnp.arange(s)
+    r_max = new_dense.k.shape[3]
+    pos = start_pos[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+    pos_cl = jnp.clip(pos, 0, r_max - 1)
+    # advanced indices (rows[:,None] at axis 1, pos_cl at axis 3) are
+    # non-adjacent -> broadcast result [S, C] moves to front: [S,C,L,K,D]
+    kbuf = new_dense.k[:, rows[:, None], :, pos_cl, :].transpose(2, 0, 3, 1, 4)
+    vbuf = new_dense.v[:, rows[:, None], :, pos_cl, :].transpose(2, 0, 3, 1, 4)
+    cache = paged_ring_flush(cache, kbuf, vbuf, start_pos, active,
+                             max_seq, page_size)
+    return logits, hidden, cache
+
+
 def prefill_paged(
     spec: DecoderSpec,
     params: dict,
@@ -343,7 +389,8 @@ def prefill_paged(
     page_size: int,
     prefix_embeds: Optional[jax.Array] = None,
     prefix_len: Optional[jax.Array] = None,
-) -> tuple[jax.Array, PagedKVCache]:
+    return_hidden: bool = False,
+):
     """Bucket prefill whose KV lands in the target slots' pages.
 
     Attention within the bucket is self-contained (causal over the prompt),
@@ -420,4 +467,6 @@ def prefill_paged(
     x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
+    if return_hidden:
+        return logits, x, cache._replace(k=new_k, v=new_v)
     return logits, cache._replace(k=new_k, v=new_v)

@@ -273,8 +273,8 @@ def paged_decode_attention_partial_reference(q, k_pool, v_pool, block_table,
     s, kh, g, d = q.shape
     rows = (block_table[:, :, None] * page_size
             + jnp.arange(page_size)[None, None, :]).reshape(s, -1)
-    k = jnp.take(k_pool, rows, axis=1)          # [K, S, T', D]
-    v = jnp.take(v_pool, rows, axis=1)
+    k = jnp.take(k_pool, rows, axis=1, mode="clip")          # [K, S, T', D]
+    v = jnp.take(v_pool, rows, axis=1, mode="clip")
     scale = 1.0 / math.sqrt(d)
     scores = jnp.einsum("skgd,kstd->skgt", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
@@ -303,8 +303,8 @@ def paged_decode_attention_reference(q, k_pool, v_pool, block_table, ctx,
     # gather each slot's pages into contiguous [K, S, T', D]
     rows = (block_table[:, :, None] * page_size
             + jnp.arange(page_size)[None, None, :]).reshape(s, -1)
-    k = jnp.take(k_pool, rows, axis=1)          # [K, S, T', D]
-    v = jnp.take(v_pool, rows, axis=1)
+    k = jnp.take(k_pool, rows, axis=1, mode="clip")          # [K, S, T', D]
+    v = jnp.take(v_pool, rows, axis=1, mode="clip")
     scale = 1.0 / math.sqrt(d)
     scores = jnp.einsum("skgd,kstd->skgt", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale

@@ -100,13 +100,28 @@ def build_engine(config: ServingConfig):
     # decode it benches within ~5% of the slot engine (9414 vs 9959 tok/s
     # on TinyLlama/v5e) while admitting by exact page need instead of a
     # full max_seq KV reservation per slot. PAGED_ATTENTION=0 opts out.
+    paged = os.getenv("PAGED_ATTENTION", "1").lower() in ("1", "true")
     if os.getenv("SPECULATOR", "").lower() in ("1", "true"):
-        from ..engine.speculative import SpeculativeEngine
+        n_predict = int(os.getenv("SPECULATOR_N_PREDICT", "3"))
+        if paged:
+            # the reference's configuration: speculation on the paged path,
+            # gated by SPECULATOR_MAX_BATCH_SIZE / pool pressure
+            from ..engine.speculative import PagedSpeculativeEngine
 
-        engine = SpeculativeEngine(
-            spec, params, config, eos_token_id=eos,
-            n_predict=int(os.getenv("SPECULATOR_N_PREDICT", "3")))
-    elif os.getenv("PAGED_ATTENTION", "1").lower() in ("1", "true"):
+            engine = PagedSpeculativeEngine(
+                spec, params, config, eos_token_id=eos, mesh=mesh,
+                n_predict=n_predict)
+        else:
+            if mesh is not None:
+                raise ValueError(
+                    "SPECULATOR with PAGED_ATTENTION=0 (slot engine) does "
+                    "not support TENSOR_PARALLEL>1; use the paged "
+                    "speculative engine or TENSOR_PARALLEL=1")
+            from ..engine.speculative import SpeculativeEngine
+
+            engine = SpeculativeEngine(
+                spec, params, config, eos_token_id=eos, n_predict=n_predict)
+    elif paged:
         from ..engine.paged_engine import PagedInferenceEngine
 
         engine = PagedInferenceEngine(spec, params, config, eos_token_id=eos,
