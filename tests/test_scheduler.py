@@ -192,6 +192,48 @@ class TestBasicFlow:
         run_async(go())
 
 
+class TestTimeLimitClock:
+    """The time-limit clock starts at request ARRIVAL, not at prefill
+    (reference: grpc_server.rs:560-563 arms the deadline at parameter
+    conversion; queue.rs:198-227 early-times-out expired queued entries)."""
+
+    async def _wait(self, req):
+        await asyncio.wait_for(req.result_future, timeout=10)
+
+    def test_queue_wait_counts_against_time_limit(self):
+        async def go():
+            # 1 slot; a long-running request occupies it, so the limited
+            # request's queue wait alone exceeds its deadline even though
+            # its generation (3 tokens x 10ms) would not
+            b, eng = make_batcher(FakeEngine(num_slots=1, step_duration=0.01))
+            b.start()
+            hog = make_request([2], max_new=30)
+            limited = make_request([3], max_new=3, time_limit=120)
+            b.submit(hog)
+            b.submit(limited)
+            await self._wait(hog)
+            await self._wait(limited)
+            assert limited.stop_reason == StopReason.TIME_LIMIT
+            await b.stop()
+        run_async(go())
+
+    def test_early_timeout_in_queue_zero_tokens(self):
+        async def go():
+            b, eng = make_batcher(FakeEngine(num_slots=1, step_duration=0.01))
+            b.start()
+            hog = make_request([2], max_new=40)
+            limited = make_request([3], max_new=3, time_limit=40)
+            b.submit(hog)
+            b.submit(limited)
+            await self._wait(limited)
+            assert limited.stop_reason == StopReason.TIME_LIMIT
+            assert limited.generated_count == 0
+            assert limited.final_text() == ""
+            await self._wait(hog)
+            await b.stop()
+        run_async(go())
+
+
 class TestAdmission:
     def test_batched_admission_up_to_free_slots(self):
         async def go():

@@ -420,3 +420,78 @@ class TestHttpEndpoints:
         assert "tgi_request_count" in body
         assert "tgi_request_success_total" in body
         assert "tgi_batch_inference_duration" in body
+
+    # the reference README's full metrics table, minus the two series
+    # absorbed by design (documented in proto/CONTRACT.md):
+    # tgi_batch_concatenation_count (slot/paged engines never concatenate
+    # batches) and tgi_granular_batch_addition (page-budget admission
+    # replaces the granular weight analysis).
+    REFERENCE_SERIES = [
+        "tgi_request_count",
+        "tgi_request_input_count",
+        "tgi_request_failure",
+        "tgi_request_success",
+        "tgi_request_max_new_tokens",
+        "tgi_request_input_length",
+        "tgi_request_raw_input_length",
+        "tgi_request_mean_time_per_token_duration",
+        "tgi_request_validation_duration",
+        "tgi_request_queue_duration",
+        "tgi_request_generated_tokens",
+        "tgi_request_total_tokens",
+        "tgi_request_duration",
+        "tgi_request_inference_duration",
+        "tgi_batch_inference_count",
+        "tgi_batch_inference_success",
+        "tgi_batch_inference_failure",
+        "tgi_batch_inference_batch_size",
+        "tgi_batch_inference_duration",
+        "tgi_batch_inference_forward_duration",
+        "tgi_batch_inference_tokproc_duration",
+        "tgi_batch_next_tokens",
+        "tgi_batch_current_size",
+        "tgi_batch_input_tokens",
+        "tgi_batch_max_remaining_tokens",
+        "tgi_queue_size",
+        "tgi_queue_jump",
+        "tgi_prefill_weight_limit_exceeded",
+        "tgi_prefill_padding_limit_exceeded",
+        "tgi_prompt_load_failure",
+        "tgi_prompt_load_duration",
+        "tgi_tokenize_request_count",
+        "tgi_tokenize_request_input_count",
+        "tgi_tokenize_request_tokens",
+        "tgi_tokenize_request_duration",
+    ]
+
+    def test_metrics_reference_table_parity(self, server, stubs):
+        """Mixed workload, then assert every series from the reference
+        README metrics table is present (reference: README.md 'Metrics')."""
+        # unary single + batch + stream + tokenize + a validation failure
+        gen_one(stubs, PROMPT, greedy_params(3))
+        stubs.generate(pb.BatchedGenerationRequest(
+            model_id="m",
+            requests=[pb.GenerationRequest(text=PROMPT),
+                      pb.GenerationRequest(text=PROMPT)],
+            params=greedy_params(3)))
+        list(stubs.generate_stream(pb.SingleGenerationRequest(
+            model_id="m", request=pb.GenerationRequest(text=PROMPT),
+            params=greedy_params(3))))
+        stubs.tokenize(pb.BatchedTokenizeRequest(
+            model_id="m", requests=[pb.TokenizeRequest(text=PROMPT)]))
+        with pytest.raises(grpc.RpcError):
+            gen_one(stubs, PROMPT, pb.Parameters(
+                method=pb.SAMPLE,
+                sampling=pb.SamplingParameters(temperature=0.01)))
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.http_port}/metrics") as resp:
+            body = resp.read().decode()
+        missing = [s for s in self.REFERENCE_SERIES
+                   if f"\n{s}" not in body and not body.startswith(s)
+                   and f"TYPE {s} " not in body]
+        assert not missing, f"missing reference metric series: {missing}"
+        # label parity spot checks
+        assert 'method="prefill"' in body and 'method="next_token"' in body
+        assert 'kind="single"' in body and 'kind="stream"' in body
+        assert 'kind="batch"' in body
+        assert 'stop_reason="MAX_TOKENS"' in body

@@ -67,6 +67,7 @@ class Batcher:
         self._next_prefill_after = 0.0
         self.healthy = True
         self.last_tick = time.monotonic()   # last completed loop iteration
+        metrics.preregister()   # full tgi_* series visible from boot
         # in-flight decode dispatch (pipelining: the device computes the next
         # chunk while the host processes the previous one)
         self._pending_decode = None
@@ -118,7 +119,11 @@ class Batcher:
         return padding / total <= self.config.max_prefill_padding
 
     def _pick_prefill_batch(self) -> list[GenRequest]:
-        free = len(self.engine.free_slots)
+        # cap the dispatch at max_prefill_batch: bounds the prefill
+        # activation peak and keeps the batch grid within the shapes
+        # warmup() pre-compiled
+        free = min(len(self.engine.free_slots),
+                   self.config.max_prefill_batch)
         if free == 0 or not self.queue:
             return []
         now = time.monotonic()
@@ -132,6 +137,7 @@ class Batcher:
         # overcommit memory); only the free-slot count limits.
         alloc = getattr(self.engine, "allocator", None)
         reserved_pages = 0
+        skipped_any = False   # for tgi_queue_jump (reference: queue.rs:287)
         for req in list(self.queue):
             if len(chosen) >= free:
                 break
@@ -145,13 +151,23 @@ class Batcher:
                 need = alloc.pages_needed(budget)
                 fits = (reserved_pages + need <= alloc.num_free
                         and need <= alloc.max_pages_per_slot)
-            if fits and self._padding_ok(lens + [total_len]):
+            padding_ok = self._padding_ok(lens + [total_len])
+            if fits and padding_ok:
+                if skipped_any:
+                    metrics.increment("tgi_queue_jump")
                 chosen.append(req)
                 lens.append(total_len)
                 reserved_pages += need
-            elif now - req.queue_time >= QUEUE_JUMP_CUTOFF_S:
-                # fairness: an old entry may not be jumped over
-                break
+            else:
+                if not fits:
+                    # pages ARE the token-weight budget for the paged engine
+                    metrics.increment("tgi_prefill_weight_limit_exceeded")
+                elif not padding_ok:
+                    metrics.increment("tgi_prefill_padding_limit_exceeded")
+                if now - req.queue_time >= QUEUE_JUMP_CUTOFF_S:
+                    # fairness: an old entry may not be jumped over
+                    break
+                skipped_any = True
         # round the batch DOWN to a power of two: each (n, bucket) pair is a
         # separate XLA compilation, so prefill batch sizes are restricted to
         # 1/2/4/8/... (leftover requests go in the next prefill)
@@ -238,7 +254,8 @@ class Batcher:
                 logger.exception("device step failed; resetting engine state")
                 self.healthy = False
                 self._pending_decode = None
-                metrics.increment("tgi_batch_inference_failure", reason="error")
+                metrics.increment("tgi_batch_inference_failure",
+                                  method="next_token", reason="error")
                 self._fail_all("internal inference error", engine_reset=True)
             except Exception:
                 # host-side error: device state is still consistent, but
@@ -247,11 +264,13 @@ class Batcher:
                 logger.exception("batching loop error; failing in-flight requests")
                 self.healthy = False
                 self._pending_decode = None
-                metrics.increment("tgi_batch_inference_failure", reason="error")
+                metrics.increment("tgi_batch_inference_failure",
+                                  method="next_token", reason="error")
                 self._fail_all("internal inference error")
 
     async def _do_prefill(self, loop, batch: list[GenRequest]) -> None:
         slots = []
+        now = time.monotonic()
         for req in batch:
             slot = self.engine.acquire_slot()
             assert slot is not None
@@ -259,7 +278,18 @@ class Batcher:
             req.begin(self.tokenizer)
             self.active[slot] = req
             self.queue.remove(req)
+            metrics.observe("tgi_request_queue_duration",
+                            now - req.queue_time)
         metrics.gauge_set("tgi_queue_size", len(self.queue))
+        metrics.increment("tgi_batch_inference_count", method="prefill")
+        metrics.observe("tgi_batch_inference_batch_size", len(batch),
+                        method="prefill")
+        # total prefill tokens including bucket padding (reference:
+        # tgi_batch_next_tokens counts padded prefill tokens)
+        max_len = max(r.prefix_length + r.input_length for r in batch)
+        bucket = next((b for b in self.config.prefill_buckets
+                       if b >= max_len), max_len)
+        metrics.observe("tgi_batch_next_tokens", bucket * len(batch))
         want_details = any(r.options.input_tokens for r in batch)
         try:
             prefix_embeds = None
@@ -282,7 +312,8 @@ class Batcher:
             )
         except EngineDeviceError:
             logger.exception("prefill device step failed; resetting engine")
-            metrics.increment("tgi_batch_inference_failure", reason="prefill")
+            metrics.increment("tgi_batch_inference_failure",
+                              method="prefill", reason="error")
             for req in batch:
                 self.active.pop(req.slot, None)
                 req.slot = None
@@ -293,7 +324,8 @@ class Batcher:
             # host-side failure (e.g. prompt-cache lookup): device state is
             # untouched — fail ONLY this batch, decode continues
             logger.exception("prefill failed host-side; scoping to batch")
-            metrics.increment("tgi_batch_inference_failure", reason="prefill")
+            metrics.increment("tgi_batch_inference_failure",
+                              method="prefill", reason="error")
             for req in batch:
                 self.active.pop(req.slot, None)
                 self.engine.free(req.slot)
@@ -303,15 +335,21 @@ class Batcher:
         prefill_duration = time.monotonic() - t0
         metrics.observe("tgi_batch_inference_duration", prefill_duration,
                         method="prefill")
+        metrics.observe("tgi_batch_inference_forward_duration",
+                        self.engine.last_forward_ns / 1e9, method="prefill")
+        metrics.increment("tgi_batch_inference_success", method="prefill")
         with tracing.span("batcher.prefill", batch_size=len(batch)) as s:
             tracing.record(s, duration_s=prefill_duration)
         self._next_prefill_after = time.monotonic() + prefill_duration / 2
         self.steps_since_prefill = 0
-        metrics.gauge_set("tgi_batch_current_size", len(self.active))
 
         if want_details and result.prompt_details is not None:
             self._emit_input_tokens(batch, result.prompt_details)
+        t_proc = time.monotonic()
         self._process_step({i: r for i, r in enumerate(batch)}, result.first_token)
+        metrics.observe("tgi_batch_inference_tokproc_duration",
+                        time.monotonic() - t_proc, method="prefill")
+        self._update_batch_gauges()
 
     def _decode_call(self):
         """Runs on the executor thread: one engine decode dispatch + fetch.
@@ -331,6 +369,10 @@ class Batcher:
         else:
             steps = [self.engine.decode()]
         metrics.observe("tgi_batch_inference_duration", time.monotonic() - t0,
+                        method="next_token")
+        metrics.increment("tgi_batch_inference_count", method="next_token")
+        metrics.increment("tgi_batch_inference_success", method="next_token")
+        metrics.observe("tgi_batch_inference_batch_size", len(self.active),
                         method="next_token")
         return steps, getattr(self.engine, "last_n_emitted", None)
 
@@ -358,10 +400,24 @@ class Batcher:
                         tokproc_s, method="next_token")
         metrics.observe("tgi_batch_inference_forward_duration",
                         forward_s, method="next_token")
+        self._update_batch_gauges()
         if tracing.enabled():
             with tracing.span("batcher.next_token",
                               steps=len(steps)) as sp:
                 tracing.record(sp, forward_s=forward_s, tokproc_s=tokproc_s)
+
+    def _update_batch_gauges(self) -> None:
+        """Current-batch gauges (reference: tgi_batch_current_size,
+        tgi_batch_input_tokens, tgi_batch_max_remaining_tokens)."""
+        active = list(self.active.values())
+        metrics.gauge_set("tgi_batch_current_size", len(active))
+        metrics.gauge_set("tgi_batch_input_tokens",
+                          sum(r.prefix_length + r.input_length
+                              for r in active))
+        metrics.gauge_set(
+            "tgi_batch_max_remaining_tokens",
+            max((r.stopping.max_new_tokens - r.generated_count
+                 for r in active), default=0))
 
     # -- token processing ---------------------------------------------------
 
@@ -475,18 +531,16 @@ class Batcher:
         metrics.observe("tgi_request_total_tokens",
                         req.input_length + req.generated_count)
         if req.start_time is not None and req.generated_count > 0:
+            inference_s = time.monotonic() - req.start_time
+            metrics.observe("tgi_request_inference_duration", inference_s)
             metrics.observe("tgi_request_mean_time_per_token_duration",
-                            (time.monotonic() - req.start_time)
-                            / req.generated_count)
+                            inference_s / req.generated_count)
         if req.stop_reason == StopReason.CANCELLED:
             metrics.increment("tgi_request_cancelled")
-
-        duration = (time.monotonic() - req.start_time) if req.start_time else 0.0
-        logger.info(
-            "request %d finished: input_tokens=%d generated=%d "
-            "stop_reason=%s duration=%.3fs",
-            req.id, req.input_length, req.generated_count,
-            req.stop_reason.name, duration)
+        req.end_time = time.monotonic()
+        # the per-request response log (with validation/queue/inference
+        # timing and kind) is emitted by the servicer, matching the
+        # reference's router-side log_response (grpc_server.rs:442-514)
 
         if req.streaming and req.stream_queue is not None:
             final_text = req.unstreamed_text(final=True)
@@ -517,24 +571,33 @@ class Batcher:
         except QueueFullError:
             return False
         try:
-            async def _wait():
-                while req.result_future is None:
-                    await asyncio.sleep(0.01)
-                await req.result_future
-
-            await asyncio.wait_for(_wait(), timeout)
+            # submit() attached the future synchronously
+            await asyncio.wait_for(asyncio.shield(req.result_future), timeout)
             return req.stop_reason != StopReason.ERROR
         except asyncio.TimeoutError:
             req.cancelled = True
             return False
 
     def _reap_cancelled_queued(self) -> None:
+        """Prune cancelled AND deadline-expired entries from the queue
+        (reference: queue.rs:198-227 — expired entries get an early
+        TIME_LIMIT response with zero tokens; the ≥1-token guarantee only
+        applies once generation has started)."""
         if not self.queue:
             return
+        now = time.monotonic()
         keep = deque()
         for req in self.queue:
             if req.cancelled:
                 req.stop_reason = StopReason.CANCELLED
+                if req.result_future is not None and not req.result_future.done():
+                    req.result_future.set_result(req)
+            elif req.deadline is not None and now > req.deadline:
+                metrics.increment("tgi_request_failure", reason="timeout")
+                req.stop_reason = StopReason.TIME_LIMIT
+                if req.streaming and req.stream_queue is not None:
+                    req.stream_queue.put_nowait(
+                        ("final", None, "", StopReason.TIME_LIMIT))
                 if req.result_future is not None and not req.result_future.done():
                     req.result_future.set_result(req)
             else:

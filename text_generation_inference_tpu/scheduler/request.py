@@ -98,7 +98,15 @@ class GenRequest:
 
         self.queue_time = time.monotonic()
         self.start_time: Optional[float] = None      # set at prefill
+        self.end_time: Optional[float] = None        # set at finish
+        # the time-limit clock starts at request arrival (post-validation),
+        # NOT at prefill, so queue wait counts against time_limit_millis —
+        # reference arms the deadline at parameter conversion
+        # (grpc_server.rs:560-563)
         self.deadline: Optional[float] = None
+        if stopping.time_limit_millis:
+            self.deadline = (self.queue_time
+                             + stopping.time_limit_millis / 1000.0)
 
         self.slot: Optional[int] = None
         self.generated: list[TokenRecord] = []
@@ -129,10 +137,9 @@ class GenRequest:
         return len(self.generated)
 
     def begin(self, tokenizer) -> None:
-        """Called when the request is admitted (prefill)."""
+        """Called when the request is admitted (prefill). The time-limit
+        deadline is already armed (at arrival, in __init__)."""
         self.start_time = time.monotonic()
-        if self.stopping.time_limit_millis:
-            self.deadline = self.start_time + self.stopping.time_limit_millis / 1000.0
         self.decoder = IncrementalDecoder(tokenizer)
         self.stop_state = self._make_stop_state()
 
@@ -153,7 +160,9 @@ class GenRequest:
             self.stopping.stop_sequences, self.stopping.include_stop_sequence)
 
     def final_text(self) -> str:
-        assert self.stop_state is not None
+        if self.stop_state is None:
+            # never started generating (e.g. early TIME_LIMIT in the queue)
+            return self.input_text if self.options.input_text else ""
         text = self.stop_state.final_text(self.matched_stop)
         if self.options.input_text:
             return self.input_text + text

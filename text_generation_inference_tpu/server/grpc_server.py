@@ -48,10 +48,14 @@ class GenerationServicer:
 
     async def _validate(self, params, texts, prefix_id, context):
         loop = asyncio.get_running_loop()
+        t0 = time.monotonic()
         try:
-            return await loop.run_in_executor(
+            out = await loop.run_in_executor(
                 self.async_tokenizer._pool,
                 self.validation.validate, params, texts, prefix_id)
+            metrics.observe("tgi_request_validation_duration",
+                            time.monotonic() - t0)
+            return out
         except ValidationError as e:
             metrics.increment("tgi_request_failure", reason="validation")
             await context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
@@ -68,6 +72,38 @@ class GenerationServicer:
             info.top_tokens.append(pb.TokenInfo.TopToken(
                 text=self.tokenizer.id_to_token(tid), logprob=lp))
         return info
+
+    def _log_response(self, req: GenRequest, kind: str,
+                      rpc_start: float) -> None:
+        """Per-request response log with the timing breakdown the reference
+        records (reference: grpc_server.rs:442-514 log_response):
+        validation = arrival - rpc start, queue = prefill - arrival,
+        inference = finish - prefill."""
+        now = req.end_time or time.monotonic()
+        total_s = now - rpc_start
+        validation_s = max(req.queue_time - rpc_start, 0.0)
+        if req.start_time is not None:
+            queue_s = req.start_time - req.queue_time
+            inference_s = (req.end_time or now) - req.start_time
+        else:
+            queue_s = (req.end_time or now) - req.queue_time
+            inference_s = 0.0
+        tpt_s = inference_s / req.generated_count if req.generated_count else 0.0
+        out = req.final_text()
+        reason = req.stop_reason
+        line = (
+            f"{kind} request #{req.id} generated {req.generated_count} "
+            f"tokens before {reason.name}, output {len(out.encode())} bytes: "
+            f"{out[:32]!r} | input_toks={req.input_length} "
+            f"validation={validation_s * 1e3:.1f}ms queue={queue_s * 1e3:.1f}ms "
+            f"inference={inference_s * 1e3:.1f}ms "
+            f"time_per_token={tpt_s * 1e3:.1f}ms total={total_s * 1e3:.1f}ms")
+        if reason == StopReason.ERROR:
+            logger.error(line)
+        elif reason in (StopReason.CANCELLED, StopReason.TOKEN_LIMIT):
+            logger.warning(line)
+        else:
+            logger.info(line)
 
     def _final_response(self, req: GenRequest) -> pb.GenerationResponse:
         resp = pb.GenerationResponse(
@@ -101,9 +137,10 @@ class GenerationServicer:
                 grpc.StatusCode.INVALID_ARGUMENT,
                 f"batch size must be <= {self.config.max_batch_size}")
         texts = [r.text for r in request.requests]
+        kind = "batch" if len(request.requests) > 1 else "single"
         validated = await self._validate(
             request.params, texts, request.prefix_id or None, context)
-        metrics.increment("tgi_request_count", len(validated))
+        metrics.increment("tgi_request_count", kind=kind)
         metrics.increment("tgi_request_input_count", len(validated))
 
         reqs = [
@@ -133,7 +170,10 @@ class GenerationServicer:
                                     r.error or "generation failed")
         duration = time.monotonic() - start
         metrics.observe("tgi_request_duration", duration)
-        metrics.increment("tgi_request_success", len(reqs))
+        for r in reqs:
+            metrics.increment("tgi_request_success", kind=kind,
+                              stop_reason=r.stop_reason.name)
+            self._log_response(r, kind, start)
         with tracing.span("fmaas.Generate", context=otel_ctx,
                           batch_size=len(reqs)) as s:
             tracing.record(
@@ -143,8 +183,10 @@ class GenerationServicer:
             responses=[self._final_response(r) for r in reqs])
 
     async def _await_request(self, req: GenRequest):
-        while req.result_future is None:
-            await asyncio.sleep(0.001)
+        # submit_all attaches the future synchronously (batcher.py
+        # submit_all -> attach_loop), so it is always present here —
+        # no polling (round-2 review: 1ms poll loops were O(batch)
+        # event-loop wakeups per ms under load)
         await req.result_future
 
     async def GenerateStream(self, request: pb.SingleGenerationRequest, context):
@@ -155,7 +197,7 @@ class GenerationServicer:
             request.params, [request.request.text],
             request.prefix_id or None, context)
         v = validated[0]
-        metrics.increment("tgi_request_count")
+        metrics.increment("tgi_request_count", kind="stream")
         metrics.increment("tgi_request_input_count")
         req = GenRequest(
             input_text=v.input_text, input_ids=v.input_ids,
@@ -179,8 +221,7 @@ class GenerationServicer:
         token_count = 0
         try:
             while True:
-                while req.stream_queue is None:
-                    await asyncio.sleep(0.001)
+                # stream_queue attached synchronously by submit()
                 event = await req.stream_queue.get()
                 kind = event[0]
                 if kind == "input_tokens":
@@ -215,7 +256,9 @@ class GenerationServicer:
                     yield msg
                     duration = time.monotonic() - start
                     metrics.observe("tgi_request_duration", duration)
-                    metrics.increment("tgi_request_success")
+                    metrics.increment("tgi_request_success", kind="stream",
+                                      stop_reason=stop_reason.name)
+                    self._log_response(req, "stream", start)
                     with tracing.span("fmaas.GenerateStream",
                                       context=otel_ctx) as s:
                         tracing.record(
@@ -231,7 +274,11 @@ class GenerationServicer:
 
     async def Tokenize(self, request: pb.BatchedTokenizeRequest,
                        context) -> pb.BatchedTokenizeResponse:
-        metrics.increment("tgi_tokenize_request_count", len(request.requests))
+        t0 = time.monotonic()
+        # batch of n counts as 1 request, n inputs (reference metrics table)
+        metrics.increment("tgi_tokenize_request_count")
+        metrics.increment("tgi_tokenize_request_input_count",
+                          len(request.requests))
         responses = []
         total_tokens = 0
         for r in request.requests:
@@ -254,7 +301,9 @@ class GenerationServicer:
                         pb.TokenizeResponse.Offset(start=s, end=e)
                         for s, e in offsets)
             responses.append(resp)
-        metrics.increment("tgi_tokenize_request_tokens", total_tokens)
+        metrics.observe("tgi_tokenize_request_tokens", total_tokens)
+        metrics.observe("tgi_tokenize_request_duration",
+                        time.monotonic() - t0)
         return pb.BatchedTokenizeResponse(responses=responses)
 
     async def ModelInfo(self, request: pb.ModelInfoRequest,

@@ -14,6 +14,7 @@ from typing import Optional
 from ..config import ServingConfig
 from ..engine.engine import RequestParams
 from ..scheduler.request import ResponseOptions, StoppingCriteria
+from ..utils import metrics
 
 MAX_STOP_SEQS = 6
 MAX_STOP_SEQ_LENGTH = 240
@@ -175,6 +176,9 @@ class Validation:
         out = []
         for text in texts:
             ids = self.tokenizer.encode(text, add_special_tokens=False)
+            # raw length includes inputs that will fail the length check
+            # below (reference: tgi_request_raw_input_length)
+            metrics.observe("tgi_request_raw_input_length", len(ids))
             truncated = bool(truncate) and truncate < len(ids)
             if truncated:
                 ids = ids[-truncate:]
@@ -202,6 +206,8 @@ class Validation:
             if params.temperature != 0.0 and (
                 pb_params is None or not pb_params.sampling.HasField("seed")):
                 req_params.seed = secrets.randbits(32)
+            metrics.observe("tgi_request_max_new_tokens",
+                            req_stopping.max_new_tokens)
             out.append(ValidatedRequest(
                 input_text=text,
                 input_ids=list(ids),

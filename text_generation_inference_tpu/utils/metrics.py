@@ -71,6 +71,48 @@ def observe(name: str, value: float, **labels) -> None:
         h.observe(value)
 
 
+def touch_histogram(name: str, **labels) -> None:
+    """Materialize a histogram series with zero observations."""
+    buckets = COUNT_BUCKETS if (
+        name.endswith(("_tokens", "_length", "_count", "_size"))) else DURATION_BUCKETS
+    key = (name, _labels_key(labels))
+    with _lock:
+        if key not in _histograms:
+            _histograms[key] = _Histogram(buckets)
+
+
+def preregister() -> None:
+    """Materialize event-driven series at zero so a /metrics scrape shows
+    the full reference README table from boot (Prometheus zero-init
+    convention; reference dashboards expect every series present).
+    tgi_batch_concatenation_count and tgi_granular_batch_addition are
+    deliberately absent — absorbed by the slot/paged engine design (no
+    batch concatenation, no granular weight analysis; see
+    proto/CONTRACT.md)."""
+    zero_counters = [
+        ("tgi_queue_jump", {}),
+        ("tgi_prefill_weight_limit_exceeded", {}),
+        ("tgi_prefill_padding_limit_exceeded", {}),
+        ("tgi_prompt_load_failure", {}),
+        ("tgi_request_cancelled", {}),
+        ("tgi_request_failure", {"reason": "validation"}),
+        ("tgi_batch_inference_failure",
+         {"method": "next_token", "reason": "error"}),
+        ("tgi_tokenize_request_count", {}),
+        ("tgi_tokenize_request_input_count", {}),
+    ]
+    for name, labels in zero_counters:
+        increment(name, 0.0, **labels)
+    for name in ("tgi_prompt_load_duration",
+                 "tgi_tokenize_request_duration",
+                 "tgi_tokenize_request_tokens"):
+        touch_histogram(name)
+    gauge_set("tgi_queue_size", 0)
+    gauge_set("tgi_batch_current_size", 0)
+    gauge_set("tgi_batch_input_tokens", 0)
+    gauge_set("tgi_batch_max_remaining_tokens", 0)
+
+
 def reset() -> None:
     with _lock:
         _counters.clear()

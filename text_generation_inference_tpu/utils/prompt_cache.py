@@ -16,6 +16,7 @@ with the prefill that uses them.
 from __future__ import annotations
 
 import threading
+import time
 from collections import OrderedDict
 from pathlib import Path, PurePath
 from typing import NamedTuple, Optional
@@ -64,7 +65,16 @@ class PrefixCache:
             if entry is not None:
                 self._cache.move_to_end(prefix_id)
                 return entry
-        entry = self._load(prefix_id)
+        from . import metrics
+
+        t0 = time.monotonic()
+        try:
+            entry = self._load(prefix_id)
+        except Exception:
+            metrics.increment("tgi_prompt_load_failure")
+            raise
+        # reference: tgi_prompt_load_duration counts cache-miss loads
+        metrics.observe("tgi_prompt_load_duration", time.monotonic() - t0)
         nbytes = sum(a.nbytes for a in entry if a is not None)
         with self._lock:
             if prefix_id not in self._cache:
