@@ -172,3 +172,49 @@ def test_seq2seq_warmup_resets_state(setup):
         for step in eng.decode_steps():
             eng._last.append(int(step.next_ids[slot]))
     assert engine._last == fresh._last
+
+
+def test_no_details_decode_matches_and_skips_details(setup):
+    """want_details=False must emit the identical token stream through a
+    separate decode program that skips logprob/top-k/rank work (round-2
+    review: seq2seq always computed details; the slot engine's no-details
+    program was built to avoid exactly that)."""
+    from text_generation_inference_tpu.config import ServingConfig
+    from text_generation_inference_tpu.engine.engine import RequestParams
+    from text_generation_inference_tpu.engine.seq2seq import Seq2SeqEngine
+
+    _, spec, params = setup
+
+    def build(chunk=2):
+        cfg = ServingConfig(
+            max_sequence_length=32, max_new_tokens=16, max_batch_slots=2,
+            prefill_buckets=[8, 16], decode_chunk=chunk)
+        cfg.validate()
+        return Seq2SeqEngine(spec, params, cfg, eos_token_id=-1)
+
+    prompt = [3, 7, 11, 2]
+
+    def run(engine, want_details):
+        slot = engine.acquire_slot()
+        res = engine.prefill([slot], [prompt], [RequestParams()])
+        toks = [int(res.first_token.next_ids[0])]
+        steps_all = []
+        for _ in range(3):
+            steps = engine.decode_steps(want_details=want_details)
+            steps_all.extend(steps)
+            toks.extend(int(s.next_ids[slot]) for s in steps)
+        return toks, steps_all
+
+    with_details, steps_d = run(build(), True)
+    without, steps_n = run(build(), False)
+    assert with_details == without
+    # two distinct compiled programs exist
+    eng = build()
+    eng.decode_steps(want_details=False)
+    eng.decode_steps(want_details=True)
+    assert set(eng._decode_fns) == {False, True}
+    # the details-bearing run carries real ranks; the no-details run's
+    # rank channel is inert (zeros)
+    import numpy as np
+    assert any(int(s.rank[0]) > 0 for s in steps_d)
+    assert all(int(s.rank[0]) == 0 for s in steps_n)

@@ -93,7 +93,8 @@ def _s2s_prefill_step(spec: T5Spec, eos_id: int, dec_width: int,
 
 
 def _s2s_decode_step(spec: T5Spec, eos_id: int, params: dict,
-                     dstate: T5DecodeState, state: EngineState):
+                     dstate: T5DecodeState, state: EngineState,
+                     want_details: bool = True):
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
@@ -101,7 +102,8 @@ def _s2s_decode_step(spec: T5Spec, eos_id: int, params: dict,
     logits, dstate = t5.decoder_step(spec, params, ids, pos, dstate)
     next_ids, details = sampling.next_tokens(
         logits, state.params, state.gen_count, state.history,
-        state.history_len, eos_id, history_start=state.hist_start)
+        state.history_len, eos_id, history_start=state.hist_start,
+        want_details=want_details)
     active = state.active
     write_pos = jnp.clip(state.history_len, 0, t_max - 1)
     new_hist = state.history.at[rows, write_pos].set(
@@ -115,7 +117,8 @@ def _s2s_decode_step(spec: T5Spec, eos_id: int, params: dict,
 
 
 def _s2s_decode_multi(spec: T5Spec, eos_id: int, num_steps: int,
-                      params: dict, dstate: T5DecodeState, state: EngineState):
+                      params: dict, dstate: T5DecodeState, state: EngineState,
+                      want_details: bool = True):
     """`num_steps` decoder iterations in one compiled dispatch — the same
     host-sync amortization as the decoder-only engine's _decode_multi
     (tokens arrive in bursts of `decode_chunk`; host-side stopping applies
@@ -124,7 +127,8 @@ def _s2s_decode_multi(spec: T5Spec, eos_id: int, num_steps: int,
     def body(carry, _):
         dstate, state = carry
         dstate, state, packed = _s2s_decode_step(spec, eos_id, params,
-                                                 dstate, state)
+                                                 dstate, state,
+                                                 want_details=want_details)
         return (dstate, state), packed
 
     (dstate, state), packed_seq = jax.lax.scan(
@@ -133,7 +137,8 @@ def _s2s_decode_multi(spec: T5Spec, eos_id: int, num_steps: int,
 
 
 def _s2s_ring_multi(spec: T5Spec, eos_id: int, num_steps: int,
-                    params: dict, dstate: T5DecodeState, state: EngineState):
+                    params: dict, dstate: T5DecodeState, state: EngineState,
+                    want_details: bool = True):
     """Ring-buffer chunk decode for the seq2seq engine: decoder self-KV
     slabs are read-only inside the scan (in-chunk tokens live in ring
     buffers, one scatter per chunk — t5.decoder_ring_step /
@@ -159,7 +164,8 @@ def _s2s_ring_multi(spec: T5Spec, eos_id: int, num_steps: int,
             vbuf, v_all[:, :, :, None, :].astype(dtype), (0, 0, 0, i, 0))
         next_ids, details = sampling.next_tokens(
             logits, state.params, state.gen_count, state.history,
-            state.history_len, eos_id, history_start=state.hist_start)
+            state.history_len, eos_id, history_start=state.hist_start,
+            want_details=want_details)
         active = state.active
         write_pos = jnp.clip(state.history_len, 0, t_max - 1)
         new_hist = state.history.at[rows, write_pos].set(
@@ -206,20 +212,11 @@ class Seq2SeqEngine:
         self._pending_frees: list[int] = []
 
         self.decode_chunk = max(1, config.decode_chunk)
-        if self.decode_chunk == 1:
-            self._decode_fn = jax.jit(
-                partial(_s2s_decode_step, spec, eos_token_id),
-                donate_argnums=(1, 2))
-        elif config.decode_write_mode == "ring":
-            self._decode_fn = jax.jit(
-                partial(_s2s_ring_multi, spec, eos_token_id,
-                        self.decode_chunk),
-                donate_argnums=(1, 2))
-        else:
-            self._decode_fn = jax.jit(
-                partial(_s2s_decode_multi, spec, eos_token_id,
-                        self.decode_chunk),
-                donate_argnums=(1, 2))
+        # decode programs per want_details: the no-details variant skips
+        # log_softmax/top-k/rank for every slot every step — the same
+        # saving the slot engine's no-details program provides (round-2
+        # review: seq2seq always paid the details cost)
+        self._decode_fns: dict[bool, Any] = {}
         self._prefill_fns: dict[Any, Any] = {}
         self.last_forward_ns = 0
         self.last_n_emitted = None
@@ -251,8 +248,9 @@ class Seq2SeqEngine:
                 ids = [[1] * min(bucket, self.max_enc - 1)] * n
                 self.prefill(slots, ids, [RequestParams()] * n)
                 n_compiles += 1
-        self.decode_steps()
-        n_compiles += 1
+        for want_details in (False, True):
+            self.decode_steps(want_details=want_details)
+            n_compiles += 1
         self.reset()
         import logging
 
@@ -359,17 +357,36 @@ class Seq2SeqEngine:
     def decode(self) -> StepResult:
         return self.decode_steps()[0]
 
+    def _get_decode_fn(self, want_details: bool):
+        fn = self._decode_fns.get(want_details)
+        if fn is None:
+            if self.decode_chunk == 1:
+                fn = jax.jit(
+                    partial(_s2s_decode_step, self.spec, self.eos_token_id,
+                            want_details=want_details),
+                    donate_argnums=(1, 2))
+            elif self.config.decode_write_mode == "ring":
+                fn = jax.jit(
+                    partial(_s2s_ring_multi, self.spec, self.eos_token_id,
+                            self.decode_chunk, want_details=want_details),
+                    donate_argnums=(1, 2))
+            else:
+                fn = jax.jit(
+                    partial(_s2s_decode_multi, self.spec, self.eos_token_id,
+                            self.decode_chunk, want_details=want_details),
+                    donate_argnums=(1, 2))
+            self._decode_fns[want_details] = fn
+        return fn
+
     def decode_steps(self, want_details: bool = True) -> list[StepResult]:
-        """`decode_chunk` decoder steps in one dispatch + one host fetch.
-        (want_details is accepted for interface parity; the seq2seq decode
-        program currently always computes details.)"""
-        del want_details
+        """`decode_chunk` decoder steps in one dispatch + one host fetch;
+        the no-details program variant skips logprob/top-k/rank work."""
         self.last_n_emitted = None
         self._apply_pending_frees()
         t0 = time.monotonic_ns()
         try:
-            self.dstate, self.state, packed = self._decode_fn(
-                self.model_params, self.dstate, self.state)
+            self.dstate, self.state, packed = self._get_decode_fn(
+                want_details)(self.model_params, self.dstate, self.state)
             packed = jax.device_get(packed)
         except Exception as e:
             raise EngineDeviceError(f"seq2seq decode failed: {e}") from e
