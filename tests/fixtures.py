@@ -335,3 +335,45 @@ def golden_t5_dir() -> str:
         _save(T5ForConditionalGeneration(cfg).eval(), "golden_t5")
         shutil.copy(tok_file, out / "tokenizer.json")
     return str(out)
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_llama_sharded() -> str:
+    """tiny_llama split across multiple safetensors files with a
+    model.safetensors.index.json — exercises the multi-file index routing
+    real checkpoints use (reference loads real sharded repos:
+    integration_tests/test_server.py:48-64; a single-file fixture never
+    touches utils/weights.py's weight_map path)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    out = FIXTURE_ROOT / "tiny_llama_sharded"
+    if not (out / "config.json").exists():
+        torch.manual_seed(0)        # identical weights to tiny_llama()
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=3, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rms_norm_eps=1e-6, tie_word_embeddings=False,
+        )
+        model = LlamaForCausalLM(cfg).eval()
+        out.mkdir(parents=True, exist_ok=True)
+        model.save_pretrained(out, safe_serialization=True,
+                              max_shard_size="100KB")
+    return str(out)
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_llama_rope_scaled() -> str:
+    """Llama with linear rope_scaling + GQA — the real-config features
+    (rope_scaling, kv-head ratio) a toy default config never exercises."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(4)
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_scaling={"rope_type": "linear", "factor": 2.0},
+        tie_word_embeddings=False,
+    )
+    return _save(LlamaForCausalLM(cfg).eval(), "tiny_llama_rope_scaled")
