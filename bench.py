@@ -18,12 +18,72 @@ memory bandwidth is fully utilized.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def _phase(msg: str) -> None:
+    """Progress line to stderr (stdout carries only the final JSON line).
+    Makes a hung run diagnosable post-mortem: the last phase printed is
+    where it stalled (round-2's BENCH_r02 failure was undiagnosable
+    because nothing printed before the backend-init hang)."""
+    print(f"bench: t={time.strftime('%H:%M:%S')} {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _fail(stage: str, err: Exception) -> None:
+    """Machine-parseable failure record on stdout, then nonzero exit."""
+    tail = str(err).strip().splitlines()
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_per_chip",
+        "value": None,
+        "unit": "tokens/s",
+        "vs_baseline": None,
+        "error": {"stage": stage, "type": type(err).__name__,
+                  "message": tail[-1][:500] if tail else repr(err)},
+    }), flush=True)
+    raise SystemExit(1)
+
+
+def _init_device():
+    """Backend init with bounded retry + backoff: a transiently-held TPU
+    (another process mid-claim, or the tunnel re-establishing) returns
+    UNAVAILABLE for a while before recovering."""
+    # a sitecustomize hook may force-register the TPU platform over the env
+    # var via jax.config; re-assert the caller's platform choice so CPU
+    # smoke runs (JAX_PLATFORMS=cpu) don't block on the TPU tunnel
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    tries = int(os.environ.get("BENCH_INIT_TRIES", "4"))
+    for attempt in range(1, tries + 1):
+        _phase(f"phase=init attempt={attempt}/{tries} calling jax.devices()")
+        try:
+            dev = jax.devices()[0]
+            _phase(f"phase=init ok platform={dev.platform} device={dev}")
+            return dev
+        except Exception as e:  # noqa: BLE001 - init failure is the point
+            msg = str(e).strip().splitlines()
+            _phase(f"phase=init attempt={attempt} failed: "
+                   f"{msg[-1][:200] if msg else repr(e)}")
+            if attempt == tries:
+                _fail("init", e)
+            # jax caches backend-init failure; clear so the retry re-probes
+            try:
+                import jax.extend.backend as _jeb
+
+                _jeb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(min(30 * attempt, 90))
 
 
 def _init_int4_params(spec, key, dtype, groupsize=128):
@@ -82,6 +142,15 @@ def _init_int4_params(spec, key, dtype, groupsize=128):
 
 
 def main():
+    try:
+        _run()
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001 - one parseable line, then exit 1
+        _fail("run", e)
+
+
+def _run():
     # persistent compile cache: repeated bench runs skip the multi-minute
     # remote XLA compiles
     try:
@@ -96,7 +165,7 @@ def main():
 
     import os as _os
 
-    dev = jax.devices()[0]
+    dev = _init_device()
     on_tpu = dev.platform != "cpu"
     model_kind = _os.environ.get("BENCH_MODEL", "tinyllama")
 
@@ -187,6 +256,15 @@ def main():
         }
     else:
         params = core.init_params(spec, jax.random.key(0), dtype=dtype)
+    _phase(f"phase=load ok model={model_kind} slots={num_slots} "
+           f"chunk={decode_chunk}")
+
+    # BENCH_PROMPT_LEN > default exercises the long-context regime — for the
+    # paged engine that is the Pallas paged-attention kernel path (live
+    # context above paged_gather_ctx_max), which the default short-context
+    # run never reaches (VERDICT r2: "paged long-context path unmeasured")
+    prompt_len = int(_os.environ.get("BENCH_PROMPT_LEN", "64"))
+    max_seq = max(max_seq, 1 << (prompt_len + steps + 128).bit_length())
     config = ServingConfig(
         max_sequence_length=max_seq, max_new_tokens=max_seq // 2,
         max_batch_slots=num_slots, decode_chunk=decode_chunk,
@@ -209,14 +287,16 @@ def main():
     # the constructor tree frees the original packed buffers (~3.5 GB on
     # 7B INT4 — keeping them OOMs the 16 GB chip at the prefill peak)
     del params
+    _phase(f"phase=engine ok engine={type(engine).__name__} "
+           f"max_seq={max_seq} prompt_len={prompt_len}")
 
     rng = np.random.default_rng(0)
-    prompt_len = 64
     for slot in range(num_slots):
         s = engine.acquire_slot()
         engine.prefill(
             [s], [rng.integers(0, spec.vocab_size, size=prompt_len).tolist()],
             [RequestParams(max_new_tokens=max_seq - prompt_len - 1)])
+    _phase(f"phase=prefill ok slots={num_slots}")
 
     # NOTE: decode_steps() ends with a host fetch of the packed outputs, so
     # each timed call is fully synchronized — no block_until_ready (which is
@@ -250,6 +330,7 @@ def main():
 
     for _ in range(max(warmup // decode_chunk, 1)):
         step_chunk()
+    _phase(f"phase=warmup ok chunks={max(warmup // decode_chunk, 1)}")
 
     calls = max(steps // decode_chunk, 1)
     t0 = time.perf_counter()
@@ -257,6 +338,7 @@ def main():
         step_chunk()
     elapsed = time.perf_counter() - t0
     steps = calls * decode_chunk
+    _phase(f"phase=timed ok calls={calls} elapsed_s={round(elapsed, 3)}")
 
     steps_per_s = steps / elapsed
     tokens_per_s = steps_per_s * num_slots
