@@ -212,9 +212,47 @@ def test_no_details_decode_matches_and_skips_details(setup):
     eng = build()
     eng.decode_steps(want_details=False)
     eng.decode_steps(want_details=True)
-    assert set(eng._decode_fns) == {False, True}
+    assert {k[0] for k in eng._decode_fns} == {False, True}
     # the details-bearing run carries real ranks; the no-details run's
     # rank channel is inert (zeros)
     import numpy as np
     assert any(int(s.rank[0]) > 0 for s in steps_d)
     assert all(int(s.rank[0]) == 0 for s in steps_n)
+
+
+def test_ctx_bucketed_ring_decode_matches_full(setup):
+    """Decoder-context buckets (self-KV read sliced per chunk) must be
+    invisible in the token stream, including across a bucket crossing
+    (seq2seq counterpart of the slot engine's cache_rows parity test)."""
+    from text_generation_inference_tpu.config import ServingConfig
+    from text_generation_inference_tpu.engine.engine import RequestParams
+    from text_generation_inference_tpu.engine.seq2seq import Seq2SeqEngine
+
+    _, spec, params = setup
+
+    def build(buckets):
+        cfg = ServingConfig(
+            max_sequence_length=32, max_new_tokens=24, max_batch_slots=2,
+            prefill_buckets=[8, 16], decode_chunk=4,
+            decode_write_mode="ring", decode_ctx_buckets=buckets)
+        cfg.validate()
+        return Seq2SeqEngine(spec, params, cfg, eos_token_id=-1)
+
+    prompt = [3, 7, 11, 2]
+
+    def run(engine):
+        slot = engine.acquire_slot()
+        res = engine.prefill([slot], [prompt], [RequestParams()])
+        toks = [int(res.first_token.next_ids[0])]
+        rows_used = []
+        for _ in range(5):                      # 20 tokens: crosses 8 -> 16
+            rows_used.append(engine._pick_cache_rows())
+            for step in engine.decode_steps():
+                toks.append(int(step.next_ids[slot]))
+        return toks, rows_used
+
+    full, rows_full = run(build(None))
+    bucketed, rows_b = run(build([8, 16]))
+    assert full == bucketed
+    assert rows_full == [25] * 5               # max_dec, no buckets
+    assert 8 in rows_b and 16 in rows_b        # actually crossed a bucket

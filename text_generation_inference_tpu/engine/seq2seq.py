@@ -138,15 +138,30 @@ def _s2s_decode_multi(spec: T5Spec, eos_id: int, num_steps: int,
 
 def _s2s_ring_multi(spec: T5Spec, eos_id: int, num_steps: int,
                     params: dict, dstate: T5DecodeState, state: EngineState,
-                    want_details: bool = True):
+                    want_details: bool = True,
+                    cache_rows: Optional[int] = None):
     """Ring-buffer chunk decode for the seq2seq engine: decoder self-KV
     slabs are read-only inside the scan (in-chunk tokens live in ring
     buffers, one scatter per chunk — t5.decoder_ring_step /
     ring_flush_self_kv), eliminating the per-step full-slab copy exactly
-    like the decoder-only ring path."""
+    like the decoder-only ring path.
+
+    `cache_rows` (static) slices the READ side of the decoder self-KV to
+    its first `cache_rows` positions — one copy per chunk, amortized over
+    the scan — so self-attention stops streaming dead KV rows each step
+    (the seq2seq counterpart of the slot engine's context buckets; this
+    was the one remaining fixed-size cache read). Correct whenever every
+    active slot's decoder context at chunk entry fits in `cache_rows`;
+    the chunk-end scatter still targets the full state."""
     s, t_max = state.history.shape
     rows = jnp.arange(s)
     chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)
+    if cache_rows is not None and cache_rows < dstate.self_k.shape[3]:
+        read_state = dstate._replace(
+            self_k=jax.lax.slice_in_dim(dstate.self_k, 0, cache_rows, axis=3),
+            self_v=jax.lax.slice_in_dim(dstate.self_v, 0, cache_rows, axis=3))
+    else:
+        read_state = dstate
     dtype = dstate.self_k.dtype
     L = spec.num_decoder_layers
     kbuf = jnp.zeros((L, s, spec.num_heads, num_steps, spec.d_kv), dtype)
@@ -157,7 +172,7 @@ def _s2s_ring_multi(spec: T5Spec, eos_id: int, num_steps: int,
         pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
         ids = state.history[rows, pos]
         logits, k_all, v_all = t5.decoder_ring_step(
-            spec, params, ids, pos, dstate, kbuf, vbuf, i, chunk_start)
+            spec, params, ids, pos, read_state, kbuf, vbuf, i, chunk_start)
         kbuf = jax.lax.dynamic_update_slice(
             kbuf, k_all[:, :, :, None, :].astype(dtype), (0, 0, 0, i, 0))
         vbuf = jax.lax.dynamic_update_slice(
@@ -210,6 +225,10 @@ class Seq2SeqEngine:
         self.free_slots: list[int] = list(range(self.num_slots))
         self._free_lock = threading.Lock()
         self._pending_frees: list[int] = []
+        # host mirror of decoder history_len (0 = free): picks the decode
+        # context bucket without a device fetch (see _pick_cache_rows)
+        self._slot_ctx = np.zeros(self.num_slots, np.int32)
+        self._warmup_rows: Optional[int] = None
 
         self.decode_chunk = max(1, config.decode_chunk)
         # decode programs per want_details: the no-details variant skips
@@ -231,6 +250,7 @@ class Seq2SeqEngine:
         self.free_slots = list(range(self.num_slots))
         with self._free_lock:
             self._pending_frees.clear()
+        self._slot_ctx[:] = 0
 
     def warmup(self, batch_sizes: tuple[int, ...] = (1,), **_) -> None:
         """Pre-compile the prefill buckets + the decode chunk (counterpart
@@ -248,9 +268,17 @@ class Seq2SeqEngine:
                 ids = [[1] * min(bucket, self.max_enc - 1)] * n
                 self.prefill(slots, ids, [RequestParams()] * n)
                 n_compiles += 1
-        for want_details in (False, True):
-            self.decode_steps(want_details=want_details)
-            n_compiles += 1
+        n_compiles += self.precompile_decode()
+        # execute one chunk per (bucket, details) program: the first
+        # execution of a fresh executable pays a one-time load that should
+        # not land on the first real request
+        try:
+            for rows in self._ctx_bucket_grid():
+                self._warmup_rows = rows
+                for want_details in (False, True):
+                    self.decode_steps(want_details=want_details)
+        finally:
+            self._warmup_rows = None
         self.reset()
         import logging
 
@@ -277,6 +305,7 @@ class Seq2SeqEngine:
             slots = jnp.asarray(pending, jnp.int32)
             self.state = self.state._replace(
                 active=self.state.active.at[slots].set(False))
+            self._slot_ctx[np.asarray(pending)] = 0
 
     def set_request_params(self, slot: int, rp: RequestParams) -> None:
         self.state = self.state._replace(
@@ -350,6 +379,9 @@ class Seq2SeqEngine:
             packed = jax.device_get(packed)
         except Exception as e:
             raise EngineDeviceError(f"seq2seq prefill failed: {e}") from e
+        # decoder history after prefill: start token + tuned prefix + the
+        # first sampled token (history_len = dec_lengths + 1)
+        self._slot_ctx[np.asarray(slots)] = dec_lengths + 1
         step = StepResult(*sampling.unpack_step_outputs(packed))
         self.last_forward_ns = time.monotonic_ns() - t0
         return PrefillResult(first_token=step, prompt_details=None)
@@ -357,8 +389,31 @@ class Seq2SeqEngine:
     def decode(self) -> StepResult:
         return self.decode_steps()[0]
 
-    def _get_decode_fn(self, want_details: bool):
-        fn = self._decode_fns.get(want_details)
+    def _ctx_bucket_grid(self) -> list[int]:
+        """Distinct self-KV cache_rows values decode may compile (ring mode
+        only; see InferenceEngine._ctx_bucket_grid)."""
+        if self.config.decode_write_mode != "ring" or self.decode_chunk == 1:
+            return [self.max_dec]
+        return sorted({min(b, self.max_dec)
+                       for b in (self.config.decode_ctx_buckets
+                                 or [self.max_dec])})
+
+    def _pick_cache_rows(self) -> int:
+        """Smallest configured decoder-context bucket covering every live
+        slot's history (host mirror — no device fetch)."""
+        if self._warmup_rows is not None:
+            return self._warmup_rows
+        if self.config.decode_write_mode != "ring" or self.decode_chunk == 1:
+            return self.max_dec
+        need = int(self._slot_ctx.max(initial=0))
+        for b in self._ctx_bucket_grid():
+            if b >= need:
+                return b
+        return self.max_dec
+
+    def _get_decode_fn(self, want_details: bool, cache_rows: int):
+        key = (want_details, cache_rows)
+        fn = self._decode_fns.get(key)
         if fn is None:
             if self.decode_chunk == 1:
                 fn = jax.jit(
@@ -368,28 +423,48 @@ class Seq2SeqEngine:
             elif self.config.decode_write_mode == "ring":
                 fn = jax.jit(
                     partial(_s2s_ring_multi, self.spec, self.eos_token_id,
-                            self.decode_chunk, want_details=want_details),
+                            self.decode_chunk, want_details=want_details,
+                            cache_rows=cache_rows),
                     donate_argnums=(1, 2))
             else:
                 fn = jax.jit(
                     partial(_s2s_decode_multi, self.spec, self.eos_token_id,
                             self.decode_chunk, want_details=want_details),
                     donate_argnums=(1, 2))
-            self._decode_fns[want_details] = fn
+            # AOT-compile so a first-crossed context bucket never traces or
+            # compiles inside the serving loop (see InferenceEngine)
+            fn = fn.lower(self.model_params, self.dstate,
+                          self.state).compile()
+            self._decode_fns[key] = fn
         return fn
+
+    def precompile_decode(self, details=(False, True)) -> int:
+        """AOT-compile every decode program (decoder context bucket x
+        details variant). Returns the number of programs materialized."""
+        n = 0
+        for rows in self._ctx_bucket_grid():
+            for want_details in details:
+                self._get_decode_fn(want_details, rows)
+                n += 1
+        return n
 
     def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         """`decode_chunk` decoder steps in one dispatch + one host fetch;
         the no-details program variant skips logprob/top-k/rank work."""
         self.last_n_emitted = None
         self._apply_pending_frees()
+        cache_rows = self._pick_cache_rows()
         t0 = time.monotonic_ns()
         try:
             self.dstate, self.state, packed = self._get_decode_fn(
-                want_details)(self.model_params, self.dstate, self.state)
+                want_details, cache_rows)(
+                self.model_params, self.dstate, self.state)
             packed = jax.device_get(packed)
         except Exception as e:
             raise EngineDeviceError(f"seq2seq decode failed: {e}") from e
+        np.minimum(np.where(self._slot_ctx > 0,
+                            self._slot_ctx + self.decode_chunk, 0),
+                   self.max_dec, out=self._slot_ctx)
         if self.decode_chunk == 1:
             results = [StepResult(*sampling.unpack_step_outputs(packed))]
         else:
