@@ -416,3 +416,83 @@ class TestWarmupCoverage:
         assert len(engine._prefill_fns) == n_prefill, \
             f"in-loop prefill compiles: {set(engine._prefill_fns) - set()}"
         assert len(engine._decode_fns) == n_decode
+
+
+class TestInt8KVCache:
+    """kv_cache_dtype=int8: symmetric per-token-per-head KV quantization on
+    the ring decode path. Halves decode attention's HBM reads; must be
+    invisible in the greedy token stream on the tiny fixture (int8 KV is
+    near-lossless; large logit gaps survive the <1% score perturbation)."""
+
+    def _build(self, kv, chunk=4, ctx_buckets=None):
+        model_dir = fixtures.tiny_llama()
+        spec, params = families.load_model(model_dir, dtype=jnp.float32)
+        cfg = ServingConfig(
+            max_sequence_length=64, max_new_tokens=32, max_batch_slots=3,
+            prefill_buckets=[8, 16], decode_chunk=chunk,
+            decode_write_mode="ring", decode_ctx_buckets=ctx_buckets,
+            kv_cache_dtype=kv)
+        cfg.validate()
+        return InferenceEngine(spec, params, cfg, eos_token_id=2)
+
+    def test_greedy_stream_matches_fp(self):
+        fp = run_single(self._build("auto"), PROMPTS[0], 24)
+        q8 = run_single(self._build("int8"), PROMPTS[0], 24)
+        assert q8 == fp
+
+    def test_with_ctx_buckets_and_multislot(self):
+        """int8 + context buckets + staggered multi-slot admission (the
+        bucket slice must carry the scale arrays along)."""
+        eng_fp = self._build("auto", ctx_buckets=[8, 16, 32, 64])
+        eng_q8 = self._build("int8", ctx_buckets=[8, 16, 32, 64])
+        outs = []
+        for eng in (eng_fp, eng_q8):
+            sa = eng.acquire_slot()
+            res = eng.prefill([sa], [PROMPTS[0]], [RequestParams()])
+            out_a = [int(res.first_token.next_ids[0])]
+            sb = eng.acquire_slot()
+            res = eng.prefill([sb], [PROMPTS[1]], [RequestParams()])
+            out_b = [int(res.first_token.next_ids[0])]
+            for _ in range(5):
+                for step in eng.decode_steps():
+                    out_a.append(int(step.next_ids[sa]))
+                    out_b.append(int(step.next_ids[sb]))
+            outs.append((out_a, out_b))
+        assert outs[0] == outs[1]
+
+    def test_quantize_roundtrip_error_bound(self):
+        from text_generation_inference_tpu.models.core import quantize_kv
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 2, 8, 16)) * 3.0, jnp.float32)
+        q, sc = quantize_kv(x)
+        back = np.asarray(q, np.float32) * np.asarray(sc)[..., None]
+        err = np.abs(back - np.asarray(x))
+        # absmax/127 scale: error <= scale/2 per element
+        assert (err <= np.asarray(sc)[..., None] / 2 + 1e-6).all()
+
+    def test_sampling_seeded_matches_fp(self):
+        rp = RequestParams(temperature=0.8, top_k=10, seed=7)
+        fp = run_single(self._build("auto"), PROMPTS[1], 16, rp=rp)
+        q8 = run_single(self._build("int8"), PROMPTS[1], 16, rp=rp)
+        assert q8 == fp
+
+    def test_requires_ring_path(self):
+        model_dir = fixtures.tiny_llama()
+        spec, params = families.load_model(model_dir, dtype=jnp.float32)
+        cfg = ServingConfig(
+            max_sequence_length=64, max_new_tokens=32, max_batch_slots=2,
+            prefill_buckets=[8, 16], decode_chunk=1,
+            kv_cache_dtype="int8")
+        cfg.validate()
+        with pytest.raises(ValueError, match="ring"):
+            InferenceEngine(spec, params, cfg, eos_token_id=2)
+
+    def test_warmup_and_reset(self):
+        eng = self._build("int8", chunk=2)
+        eng.warmup()
+        assert len(eng.free_slots) == eng.num_slots
+        fp = run_single(self._build("auto", chunk=2), PROMPTS[2], 12)
+        assert run_single(eng, PROMPTS[2], 12) == fp
+        eng.reset()
+        assert run_single(eng, PROMPTS[2], 12) == fp

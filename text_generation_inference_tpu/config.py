@@ -103,6 +103,12 @@ class ServingConfig:
                                               # every live context (dead-KV
                                               # DMA skipped); None = derive
                                               # 256,512,... up to max_seq
+    kv_cache_dtype: str = "auto"              # "auto" (param dtype) | "int8"
+                                              # int8 = symmetric per-token-
+                                              # per-head KV quantization:
+                                              # halves decode attention's HBM
+                                              # reads AND doubles KV capacity
+                                              # (ring decode path only)
     kv_page_size: int = 128                   # tokens per KV page (paged cache)
     paged_gather_ctx_max: int = 1024          # paged ring decode: context
                                               # buckets up to this many tokens
@@ -165,6 +171,7 @@ class ServingConfig:
             decode_ctx_buckets=(
                 _env_int_list("DECODE_CTX_BUCKETS", [])
                 if os.getenv("DECODE_CTX_BUCKETS") else None),
+            kv_cache_dtype=_env_str("KV_CACHE_DTYPE", "auto"),
             kv_page_size=_env_int("KV_PAGE_SIZE", 128),
             paged_gather_ctx_max=_env_int("PAGED_GATHER_CTX_MAX", 1024),
             hbm_memory_fraction=_env_float("HBM_MEMORY_FRACTION", 0.9),
@@ -215,6 +222,8 @@ class ServingConfig:
             if (not self.decode_ctx_buckets
                     or self.decode_ctx_buckets[-1] < self.max_sequence_length):
                 self.decode_ctx_buckets.append(self.max_sequence_length)
+        if self.kv_cache_dtype not in ("auto", "int8"):
+            raise ValueError("kv_cache_dtype must be 'auto' or 'int8'")
         if not 0.0 <= self.max_prefill_padding <= 1.0:
             raise ValueError("max_prefill_padding must be in [0, 1]")
         if self.max_batch_slots < 1:

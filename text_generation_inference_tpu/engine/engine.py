@@ -184,13 +184,23 @@ def _decode_ring_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
     if cache_rows is not None and cache_rows < t_max:
         read_cache = KVCache(
             k=jax.lax.slice_in_dim(cache.k, 0, cache_rows, axis=3),
-            v=jax.lax.slice_in_dim(cache.v, 0, cache_rows, axis=3))
+            v=jax.lax.slice_in_dim(cache.v, 0, cache_rows, axis=3),
+            k_scale=(None if cache.k_scale is None else
+                     jax.lax.slice_in_dim(cache.k_scale, 0, cache_rows,
+                                          axis=3)),
+            v_scale=(None if cache.v_scale is None else
+                     jax.lax.slice_in_dim(cache.v_scale, 0, cache_rows,
+                                          axis=3)))
     else:
         read_cache = cache
-    cache_dtype = cache.k.dtype
+    # in-chunk ring buffers stay full precision even over an int8 cache
+    # (they are tiny; quantization happens once at the chunk-end flush)
+    buf_dtype = (params["embed_tokens"].dtype
+                 if cache.quantized else cache.k.dtype)
     kbuf = jnp.zeros((spec.num_layers, s, spec.num_kv_heads, num_steps,
-                      spec.head_dim), cache_dtype)
+                      spec.head_dim), buf_dtype)
     vbuf = jnp.zeros_like(kbuf)
+    cache_dtype = buf_dtype
 
     def body(carry, i):
         kbuf, vbuf, state = carry
@@ -307,7 +317,14 @@ class InferenceEngine:
         self.config = config
         self.eos_token_id = eos_token_id
 
-        cache_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        if config.kv_cache_dtype == "int8":
+            if config.decode_write_mode != "ring" or config.decode_chunk < 2:
+                raise ValueError(
+                    "kv_cache_dtype=int8 requires the ring decode path "
+                    "(decode_write_mode=ring, decode_chunk > 1)")
+            cache_dtype = jnp.int8
+        else:
+            cache_dtype = jax.tree_util.tree_leaves(params)[0].dtype
         from .memory import plan_memory
 
         self.memory_plan = plan_memory(

@@ -201,6 +201,10 @@ class PagedInferenceEngine:
     def __init__(self, spec: DecoderSpec, params: dict, config: ServingConfig,
                  eos_token_id: int, num_pages: Optional[int] = None,
                  mesh=None):
+        if config.kv_cache_dtype == "int8":
+            raise ValueError(
+                "kv_cache_dtype=int8 is not yet supported on the paged "
+                "engine; use the slot engine (PAGED_ATTENTION=0)")
         self.spec = spec
         self.mesh = mesh
         if mesh is not None and mesh.shape.get("model", 1) > 1:

@@ -204,6 +204,9 @@ class Seq2SeqEngine:
 
     def __init__(self, spec: T5Spec, params: dict, config: ServingConfig,
                  eos_token_id: int):
+        if config.kv_cache_dtype == "int8":
+            raise ValueError(
+                "kv_cache_dtype=int8 is not supported on the seq2seq engine")
         self.spec = spec
         self.model_params = params
         self.config = config

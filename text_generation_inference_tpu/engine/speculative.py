@@ -188,6 +188,11 @@ class SpeculativeEngine(InferenceEngine):
                  speculator_spec: Optional[SpeculatorSpec] = None,
                  speculator_params: Optional[dict] = None,
                  n_predict: int = 3):
+        if config.kv_cache_dtype == "int8":
+            # verify_chunk reads/writes the cache at full precision
+            raise ValueError(
+                "kv_cache_dtype=int8 is not supported with speculative "
+                "decoding")
         super().__init__(spec, params, config, eos_token_id)
         if speculator_spec is None:
             speculator_spec = SpeculatorSpec(

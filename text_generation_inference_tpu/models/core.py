@@ -83,15 +83,33 @@ class DecoderSpec:
 
 
 class KVCache(NamedTuple):
-    """Slot-indexed KV cache: k/v are [num_layers, slots, kv_heads, max_seq, head_dim]."""
+    """Slot-indexed KV cache: k/v are [num_layers, slots, kv_heads, max_seq, head_dim].
+
+    With dtype int8 the cache is symmetric per-token-per-head quantized:
+    k_scale/v_scale are [L, S, K, T] f32 absmax/127 factors (3-6% extra
+    bytes at head_dim 64-128; decode attention reads half the KV bytes —
+    the HBM-bandwidth term that dominates long-context decode). Dequant is
+    folded into the score/value einsums per position, not per element (the
+    scale factors out of the head_dim contraction)."""
 
     k: jax.Array
     v: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(cls, spec: DecoderSpec, num_slots: int, max_seq: int, dtype) -> "KVCache":
         shape = (spec.num_layers, num_slots, spec.num_kv_heads, max_seq, spec.head_dim)
+        if jnp.dtype(dtype) == jnp.int8:
+            return cls(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                       v_scale=jnp.zeros(shape[:-1], jnp.float32))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
 
     @property
     def max_seq(self) -> int:
@@ -100,6 +118,16 @@ class KVCache(NamedTuple):
     @property
     def num_slots(self) -> int:
         return self.k.shape[1]
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[..., D] float -> ([..., D] int8, [...] f32 scale); symmetric absmax
+    over the head dim (per token per head — near-lossless for KV)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    sc = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / sc[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, sc
 
 
 # ---------------------------------------------------------------------------
@@ -461,8 +489,13 @@ def prefill(
     scale = 1.0 / math.sqrt(spec.head_dim)
     group = spec.num_heads // spec.num_kv_heads
 
+    quant = cache.quantized
+
     def layer(x, inputs):
-        lp, ck, cv = inputs
+        if quant:
+            lp, ck, cv, csk, csv = inputs
+        else:
+            lp, ck, cv = inputs
         h = _norm(spec, lp["ln1"], x)
         q, k, v = _qkv(spec, lp, h)
         if cos is not None:
@@ -485,18 +518,31 @@ def prefill(
             x = x + _mlp(spec, lp, h2)
 
         # write this layer's K/V into the cache slots: ck/cv are [S, K, Tmax, D]
-        k_t = k.transpose(0, 2, 1, 3).astype(ck.dtype)   # [N, K, T, D]
-        v_t = v.transpose(0, 2, 1, 3).astype(cv.dtype)
-        ck = ck.at[slots, :, :t, :].set(k_t)
-        cv = cv.at[slots, :, :t, :].set(v_t)
-        return x, (ck, cv)
+        k_t = k.transpose(0, 2, 1, 3)                    # [N, K, T, D]
+        v_t = v.transpose(0, 2, 1, 3)
+        if quant:
+            k_t, k_sc = quantize_kv(k_t)
+            v_t, v_sc = quantize_kv(v_t)
+            csk = csk.at[slots, :, :t].set(k_sc)
+            csv = csv.at[slots, :, :t].set(v_sc)
+        ck = ck.at[slots, :, :t, :].set(k_t.astype(ck.dtype))
+        cv = cv.at[slots, :, :t, :].set(v_t.astype(cv.dtype))
+        return x, ((ck, cv, csk, csv) if quant else (ck, cv))
 
-    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
+    if quant:
+        x, (new_k, new_v, new_sk, new_sv) = jax.lax.scan(
+            layer, x, (params["layers"], cache.k, cache.v,
+                       cache.k_scale, cache.v_scale))
+        new_cache = KVCache(k=new_k, v=new_v, k_scale=new_sk, v_scale=new_sv)
+    else:
+        x, (new_k, new_v) = jax.lax.scan(
+            layer, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(k=new_k, v=new_v)
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     if return_hidden:
-        return logits, x, KVCache(k=new_k, v=new_v)
-    return logits, KVCache(k=new_k, v=new_v)
+        return logits, x, new_cache
+    return logits, new_cache
 
 
 # ---------------------------------------------------------------------------
@@ -559,16 +605,27 @@ def decode_ring_step(
     else:
         cache_bias = buf_bias = new_bias = None
 
+    quant = cache.quantized
+
     def layer(x, inputs):
-        lp, ck, cv, kb, vb = inputs        # kb/vb READ-ONLY [S, K, C, D]
+        if quant:
+            lp, ck, cv, csk, csv, kb, vb = inputs  # READ-ONLY cache slabs
+        else:
+            lp, ck, cv, kb, vb = inputs            # kb/vb [S, K, C, D]
         h = _norm(spec, lp["ln1"], x)
         q, k, v = _qkv(spec, lp, h)
         if cos is not None:
             q = _apply_rope(spec, q, cos, sin)
             k = _apply_rope(spec, k, cos, sin)
         qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
-        scores = jnp.einsum("skgd,sktd->skgt", qg, ck,
+        # int8 cache: the per-position scale factors out of the head_dim
+        # contraction — apply it to the [S,K,G,T] scores / [S,K,G,T] probs
+        # (D x fewer multiplies than dequantizing k/v in place; the int8->
+        # compute convert fuses into the einsum read)
+        scores = jnp.einsum("skgd,sktd->skgt", qg, ck.astype(qg.dtype),
                             preferred_element_type=jnp.float32) * scale
+        if quant:
+            scores = scores * csk[:, :, None, :]
         if cache_bias is not None:
             scores = scores + cache_bias
         scores = jnp.where(cache_mask[:, None, None, :], scores, -jnp.inf)
@@ -584,8 +641,11 @@ def decode_ring_step(
             score_new = score_new + new_bias
         all_scores = jnp.concatenate(
             [scores, bscores, score_new[..., None]], axis=-1)
-        probs = jax.nn.softmax(all_scores, axis=-1).astype(cv.dtype)
-        attn = jnp.einsum("skgt,sktd->skgd", probs[..., :t_max], cv) \
+        probs = jax.nn.softmax(all_scores, axis=-1).astype(v.dtype)
+        pc = probs[..., :t_max]
+        if quant:
+            pc = pc * csv[:, :, None, :].astype(pc.dtype)
+        attn = jnp.einsum("skgt,sktd->skgd", pc, cv.astype(pc.dtype)) \
             + jnp.einsum("skgc,skcd->skgd",
                          probs[..., t_max:t_max + n_buf], vb) \
             + probs[..., t_max + n_buf:] * v[:, :, None, :]
@@ -601,8 +661,10 @@ def decode_ring_step(
             x = x + _mlp(spec, lp, h2)
         return x, (k, v)
 
-    x, (k_all, v_all) = jax.lax.scan(
-        layer, x, (params["layers"], cache.k, cache.v, kbuf, vbuf))
+    xs = ((params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale,
+           kbuf, vbuf) if quant
+          else (params["layers"], cache.k, cache.v, kbuf, vbuf))
+    x, (k_all, v_all) = jax.lax.scan(layer, x, xs)
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     return logits, k_all, v_all
@@ -622,12 +684,24 @@ def ring_flush(cache: KVCache, kbuf: jax.Array, vbuf: jax.Array,
     wpos = chunk_start[None, :] + jnp.arange(n_buf, dtype=jnp.int32)[:, None]
     wpos = jnp.where(wpos < t_max, wpos, t_max)                  # drop OOB
     idx_rows = jnp.broadcast_to(rows[None, :], (n_buf, s))
+    kq, vq = kbuf, vbuf
+    k_sc = v_sc = None
+    if cache.quantized:
+        # in-chunk ring buffers stay full precision; quantize once at flush
+        kq, k_sc = quantize_kv(kbuf)
+        vq, v_sc = quantize_kv(vbuf)
     # advanced indices (C, S) at axes 1 and 3 move to the front: the
     # updated region is [C, S, L, K, D]
     new_k = cache.k.at[:, idx_rows, :, wpos, :].set(
-        kbuf.transpose(3, 1, 0, 2, 4).astype(cache.k.dtype), mode="drop")
+        kq.transpose(3, 1, 0, 2, 4).astype(cache.k.dtype), mode="drop")
     new_v = cache.v.at[:, idx_rows, :, wpos, :].set(
-        vbuf.transpose(3, 1, 0, 2, 4).astype(cache.v.dtype), mode="drop")
+        vq.transpose(3, 1, 0, 2, 4).astype(cache.v.dtype), mode="drop")
+    if cache.quantized:
+        new_sk = cache.k_scale.at[:, idx_rows, :, wpos].set(
+            k_sc.transpose(3, 1, 0, 2), mode="drop")
+        new_sv = cache.v_scale.at[:, idx_rows, :, wpos].set(
+            v_sc.transpose(3, 1, 0, 2), mode="drop")
+        return KVCache(k=new_k, v=new_v, k_scale=new_sk, v_scale=new_sv)
     return KVCache(k=new_k, v=new_v)
 
 

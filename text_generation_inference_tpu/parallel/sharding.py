@@ -232,8 +232,16 @@ def shard_params(params: dict, specs: dict, mesh: Mesh) -> dict:
 
 
 def shard_cache(cache: KVCache, spec: DecoderSpec, mesh: Mesh) -> KVCache:
-    s = NamedSharding(mesh, cache_spec(spec, mesh))
-    return KVCache(k=jax.device_put(cache.k, s), v=jax.device_put(cache.v, s))
+    cs = cache_spec(spec, mesh)
+    s = NamedSharding(mesh, cs)
+    # int8 cache scales [L, S, K, T] shard on the same kv-head axis
+    ss = NamedSharding(mesh, P(*cs[:-1]))
+    return KVCache(
+        k=jax.device_put(cache.k, s), v=jax.device_put(cache.v, s),
+        k_scale=(None if cache.k_scale is None
+                 else jax.device_put(cache.k_scale, ss)),
+        v_scale=(None if cache.v_scale is None
+                 else jax.device_put(cache.v_scale, ss)))
 
 
 def paged_pool_spec(spec: DecoderSpec, mesh: Mesh) -> P:
