@@ -283,23 +283,32 @@ def gen_t5_cases(model_dir):
     return cases
 
 
+def gen_family(family: str) -> list:
+    """Oracle cases for one family, generated in THIS environment.
+
+    The committed YAML snapshots in tests/golden/ are a reference record:
+    the fixture checkpoints are seeded-random torch inits, so their exact
+    weights (and hence greedy outputs) can shift across torch/tokenizers
+    releases. tests/test_golden.py therefore regenerates expectations
+    through this function (cached per fixture fingerprint) instead of
+    trusting a snapshot from a different environment."""
+    if family == "gpt2":
+        return gen_decoder_cases(fixtures.golden_gpt2_dir(), "gpt2")
+    if family == "llama":
+        return gen_decoder_cases(fixtures.golden_llama_dir(), "llama")
+    if family == "t5":
+        return gen_t5_cases(fixtures.golden_t5_dir())
+    raise ValueError(family)
+
+
 def main():
     OUT_DIR.mkdir(parents=True, exist_ok=True)
-    families = {
-        "gpt2": (fixtures.golden_gpt2_dir(), gen_decoder_cases),
-        "llama": (fixtures.golden_llama_dir(), gen_decoder_cases),
-    }
-    for fam, (mdir, gen) in families.items():
-        cases = gen(mdir, fam) if gen is gen_decoder_cases else gen(mdir)
+    for fam in ("gpt2", "llama", "t5"):
+        cases = gen_family(fam)
         out = OUT_DIR / f"test_cases_{fam}.yaml"
         out.write_text(yaml.safe_dump(cases, allow_unicode=True,
                                       sort_keys=False))
         print(f"{out}: {len(cases)} cases")
-    t5_dir = fixtures.golden_t5_dir()
-    cases = gen_t5_cases(t5_dir)
-    out = OUT_DIR / "test_cases_t5.yaml"
-    out.write_text(yaml.safe_dump(cases, allow_unicode=True, sort_keys=False))
-    print(f"{out}: {len(cases)} cases")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,39 @@ FAMILIES = {
 }
 
 
+def _load_cases(family: str) -> list:
+    """Oracle expectations, regenerated in-environment and cached.
+
+    The committed tests/golden/*.yaml are snapshots from one environment;
+    the fixture checkpoints are seeded torch random inits whose exact
+    weights drift across torch/tokenizers releases, which flips greedy
+    ties. The authoritative expectation is therefore the HF-torch oracle
+    run HERE, over the SAME fixture files the engine loads — cached under
+    a fingerprint of (fixture checkpoint bytes, generator source) so the
+    multi-second torch loop runs once per environment."""
+    import hashlib
+
+    model_dir = Path(FAMILIES[family]())
+    gen_src = (Path(__file__).parents[1] / "scripts" / "gen_goldens.py")
+    h = hashlib.sha256(gen_src.read_bytes())
+    for f in sorted(model_dir.iterdir()):
+        h.update(f.name.encode())
+        h.update(f.read_bytes())
+    cache = fixtures.FIXTURE_ROOT / \
+        f"golden_cases_{family}.{h.hexdigest()[:12]}.yaml"
+    if cache.exists():
+        return yaml.safe_load(cache.read_text())
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("gen_goldens", gen_src)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cases = mod.gen_family(family)
+    cache.write_text(yaml.safe_dump(cases, allow_unicode=True,
+                                    sort_keys=False))
+    return cases
+
+
 # --- nested approx matcher (reference: approx.py:11-17) --------------------
 
 def assert_approx(expected, actual, path="", rel=5e-3, absol=5e-3):
@@ -136,8 +169,7 @@ def golden(request):
     if fam not in _servers:
         _servers[fam] = GoldenServer(fam)
     h = _servers[fam]
-    cases = yaml.safe_load(
-        (GOLDEN_DIR / f"test_cases_{fam}.yaml").read_text())
+    cases = _load_cases(fam)
     channel = grpc.insecure_channel(f"127.0.0.1:{h.port}")
     generate = channel.unary_unary(
         "/fmaas.GenerationService/Generate",
