@@ -293,6 +293,10 @@ def _prefill_step(spec: DecoderSpec, eos_id: int, want_prompt_details: bool,
 class InferenceEngine:
     """Owns model params, KV cache and slot state; exposes host-level ops."""
 
+    # decode_steps_begin/decode_steps_end may be pipelined two-deep by the
+    # caller (dispatch chunk N+1 before fetching chunk N's outputs)
+    supports_decode_pipeline = True
+
     def __init__(
         self,
         spec: DecoderSpec,
@@ -648,8 +652,18 @@ class InferenceEngine:
                 n += 1
         return n
 
-    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
-        """`decode_chunk` decode steps in one dispatch + one host fetch."""
+    def decode_steps_begin(self, want_details: bool = True):
+        """Dispatch one decode chunk WITHOUT fetching its outputs.
+
+        JAX dispatch is asynchronous: the jitted call enqueues the chunk and
+        returns device futures immediately. Callers that dispatch chunk N+1
+        before fetching chunk N's outputs keep the device busy across the
+        host fetch round-trip — through a remote-TPU link that round-trip is
+        ~30 ms (≈0.5 ms/step at chunk 64), and even on local PCIe it removes
+        the dispatch gap between chunks. Returns an opaque handle for
+        decode_steps_end. At most engine-state safety: self.cache/self.state
+        are reassigned to the (as-yet-unmaterialized) outputs here, so any
+        subsequent engine call correctly chains on this chunk."""
         self.last_n_emitted = None   # every step row is valid for every slot
         self._apply_pending_frees()
         cache_rows = self._pick_cache_rows()
@@ -658,16 +672,30 @@ class InferenceEngine:
             self.cache, self.state, packed = self._get_decode_fn(
                 want_details, cache_rows)(
                 self.model_params, self.cache, self.state)
-            packed = jax.device_get(packed)
         except Exception as e:
-            raise EngineDeviceError(f"decode step failed: {e}") from e
+            raise EngineDeviceError(f"decode dispatch failed: {e}") from e
         np.minimum(np.where(self._slot_ctx > 0,
                             self._slot_ctx + self.decode_chunk, 0),
                    self.max_seq, out=self._slot_ctx)
-        if self.decode_chunk == 1:
+        return (packed, self.decode_chunk, t0)
+
+    def decode_steps_end(self, handle) -> list[StepResult]:
+        """Fetch the outputs of a chunk dispatched by decode_steps_begin.
+        Device-side failures of the chunk surface here (dispatch never
+        blocks), so this is where EngineDeviceError is raised."""
+        packed, chunk, t0 = handle
+        try:
+            packed = jax.device_get(packed)
+        except Exception as e:
+            raise EngineDeviceError(f"decode step failed: {e}") from e
+        if chunk == 1:
             results = [StepResult(*sampling.unpack_step_outputs(packed))]
         else:
             results = [StepResult(*sampling.unpack_step_outputs(packed[i]))
-                       for i in range(self.decode_chunk)]
+                       for i in range(chunk)]
         self.last_forward_ns = time.monotonic_ns() - t0
         return results
+
+    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
+        """`decode_chunk` decode steps in one dispatch + one host fetch."""
+        return self.decode_steps_end(self.decode_steps_begin(want_details))

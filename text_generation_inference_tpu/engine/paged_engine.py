@@ -198,6 +198,9 @@ def _paged_prefill_step(spec: DecoderSpec, eos_id: int, page_size: int,
 class PagedInferenceEngine:
     """Slot batch + paged KV pool; admission is page accounting."""
 
+    # see InferenceEngine.supports_decode_pipeline
+    supports_decode_pipeline = True
+
     def __init__(self, spec: DecoderSpec, params: dict, config: ServingConfig,
                  eos_token_id: int, num_pages: Optional[int] = None,
                  mesh=None):
@@ -574,7 +577,11 @@ class PagedInferenceEngine:
     def decode(self) -> StepResult:
         return self.decode_steps()[0]
 
-    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
+    def decode_steps_begin(self, want_details: bool = True):
+        """Dispatch one decode chunk without fetching (see
+        InferenceEngine.decode_steps_begin — same two-phase pipelining
+        contract; callers overlap chunk N+1's compute with chunk N's host
+        fetch)."""
         self.last_n_emitted = None
         self._apply_pending_frees()
         live_pages = self._pick_live_pages()
@@ -583,16 +590,26 @@ class PagedInferenceEngine:
             self.cache, self.state, packed = self._get_decode_fn(
                 want_details, live_pages)(
                 self.model_params, self.cache, self.state)
-            packed = jax.device_get(packed)
         except Exception as e:
-            raise EngineDeviceError(f"paged decode failed: {e}") from e
+            raise EngineDeviceError(f"paged decode dispatch failed: {e}") from e
         np.minimum(np.where(self._slot_ctx > 0,
                             self._slot_ctx + self.decode_chunk, 0),
                    self.max_seq, out=self._slot_ctx)
-        if self.decode_chunk == 1:
+        return (packed, self.decode_chunk, t0)
+
+    def decode_steps_end(self, handle) -> list[StepResult]:
+        packed, chunk, t0 = handle
+        try:
+            packed = jax.device_get(packed)
+        except Exception as e:
+            raise EngineDeviceError(f"paged decode failed: {e}") from e
+        if chunk == 1:
             results = [StepResult(*sampling.unpack_step_outputs(packed))]
         else:
             results = [StepResult(*sampling.unpack_step_outputs(packed[i]))
-                       for i in range(self.decode_chunk)]
+                       for i in range(chunk)]
         self.last_forward_ns = time.monotonic_ns() - t0
         return results
+
+    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
+        return self.decode_steps_end(self.decode_steps_begin(want_details))

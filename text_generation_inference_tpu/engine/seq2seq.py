@@ -202,6 +202,9 @@ def _s2s_ring_multi(spec: T5Spec, eos_id: int, num_steps: int,
 class Seq2SeqEngine:
     """Same surface as InferenceEngine, backed by an encoder-decoder model."""
 
+    # see InferenceEngine.supports_decode_pipeline
+    supports_decode_pipeline = True
+
     def __init__(self, spec: T5Spec, params: dict, config: ServingConfig,
                  eos_token_id: int):
         if config.kv_cache_dtype == "int8":
@@ -451,9 +454,10 @@ class Seq2SeqEngine:
                 n += 1
         return n
 
-    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
-        """`decode_chunk` decoder steps in one dispatch + one host fetch;
-        the no-details program variant skips logprob/top-k/rank work."""
+    def decode_steps_begin(self, want_details: bool = True):
+        """Dispatch one decoder chunk without fetching (see
+        InferenceEngine.decode_steps_begin — same two-phase pipelining
+        contract)."""
         self.last_n_emitted = None
         self._apply_pending_frees()
         cache_rows = self._pick_cache_rows()
@@ -462,16 +466,29 @@ class Seq2SeqEngine:
             self.dstate, self.state, packed = self._get_decode_fn(
                 want_details, cache_rows)(
                 self.model_params, self.dstate, self.state)
-            packed = jax.device_get(packed)
         except Exception as e:
-            raise EngineDeviceError(f"seq2seq decode failed: {e}") from e
+            raise EngineDeviceError(
+                f"seq2seq decode dispatch failed: {e}") from e
         np.minimum(np.where(self._slot_ctx > 0,
                             self._slot_ctx + self.decode_chunk, 0),
                    self.max_dec, out=self._slot_ctx)
-        if self.decode_chunk == 1:
+        return (packed, self.decode_chunk, t0)
+
+    def decode_steps_end(self, handle) -> list[StepResult]:
+        packed, chunk, t0 = handle
+        try:
+            packed = jax.device_get(packed)
+        except Exception as e:
+            raise EngineDeviceError(f"seq2seq decode failed: {e}") from e
+        if chunk == 1:
             results = [StepResult(*sampling.unpack_step_outputs(packed))]
         else:
             results = [StepResult(*sampling.unpack_step_outputs(packed[i]))
-                       for i in range(self.decode_chunk)]
+                       for i in range(chunk)]
         self.last_forward_ns = time.monotonic_ns() - t0
         return results
+
+    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
+        """`decode_chunk` decoder steps in one dispatch + one host fetch;
+        the no-details program variant skips logprob/top-k/rank work."""
+        return self.decode_steps_end(self.decode_steps_begin(want_details))

@@ -254,6 +254,12 @@ class SpeculativeEngine(InferenceEngine):
         self.last_forward_ns = time.monotonic_ns() - t0
         return PrefillResult(first_token=step, prompt_details=None)
 
+    # speculative decode couples dispatch and fetch (n_emit drives host-side
+    # bookkeeping before the next dispatch), so the batcher must not use the
+    # inherited two-phase begin/end pipeline here — it would bypass this
+    # override and run plain (non-speculative) chunks
+    supports_decode_pipeline = False
+
     def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         del want_details  # always computed on this engine (for now)
         """One speculative step → 1..K+1 emitted tokens per slot, exposed as
@@ -397,6 +403,10 @@ class PagedSpeculativeEngine(PagedEngineBase):
             if b >= need:
                 return b
         return self.allocator.max_pages_per_slot
+
+    # dispatch/fetch stay coupled on the speculative path (see
+    # SpeculativeEngine); the batcher uses the synchronous decode_steps
+    supports_decode_pipeline = False
 
     def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         if not self._should_speculate():

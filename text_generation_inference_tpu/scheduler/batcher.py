@@ -224,13 +224,33 @@ class Batcher:
                 if self._pending_decode is not None:
                     # ALWAYS drain the in-flight decode before anything else
                     # touches engine state (prefill would race it)
-                    steps = await self._pending_decode
+                    fut = self._pending_decode
+                    # pipeline: dispatch chunk N+1 BEFORE fetching chunk N —
+                    # decode_steps_begin is a non-blocking JAX enqueue, so
+                    # the device computes N+1 while N's outputs cross the
+                    # host link (on a remote-TPU tunnel that fetch is ~30ms;
+                    # without this the device idles for it every chunk).
+                    # Conservative prefill check on the pre-fetch snapshot,
+                    # as before: at worst a prefill is delayed by one chunk.
+                    next_begun = None
+                    pipelined = getattr(
+                        self.engine, "supports_decode_pipeline", False)
+                    if pipelined and self.active \
+                            and self._should_prefill() is None:
+                        next_begun = self._decode_begin()
+                    try:
+                        steps = await fut
+                    except BaseException:
+                        # the already-dispatched next chunk is poisoned with
+                        # this one; the error handlers below reset the engine
+                        self._pending_decode = None
+                        raise
                     self._pending_decode = None
-                    # pipeline: dispatch the next chunk before host-side
-                    # processing unless a prefill looks due (conservative
-                    # check on the pre-processing snapshot; at worst the
-                    # prefill is delayed by one chunk)
-                    if self.active and self._should_prefill() is None:
+                    if next_begun is not None:
+                        self._pending_decode = loop.run_in_executor(
+                            None, self._decode_end, next_begun)
+                    elif (not pipelined) and self.active \
+                            and self._should_prefill() is None:
                         self._pending_decode = loop.run_in_executor(
                             None, self._decode_call)
                     self._handle_decode_results(steps)
@@ -241,8 +261,13 @@ class Batcher:
                 if batch:
                     await self._do_prefill(loop, batch)
                 elif self.active:
-                    self._pending_decode = loop.run_in_executor(
-                        None, self._decode_call)
+                    if getattr(self.engine, "supports_decode_pipeline",
+                               False):
+                        self._pending_decode = loop.run_in_executor(
+                            None, self._decode_end, self._decode_begin())
+                    else:
+                        self._pending_decode = loop.run_in_executor(
+                            None, self._decode_call)
                 else:
                     # queued requests exist but none admissible right now
                     await asyncio.sleep(0.001)
@@ -350,6 +375,29 @@ class Batcher:
         metrics.observe("tgi_batch_inference_tokproc_duration",
                         time.monotonic() - t_proc, method="prefill")
         self._update_batch_gauges()
+
+    def _decode_begin(self):
+        """Dispatch one decode chunk on the loop thread (non-blocking JAX
+        enqueue); the matching _decode_end fetch runs on the executor.
+        Engines advertising supports_decode_pipeline only."""
+        want = any(r.options.generated_tokens
+                   for r in self.active.values())
+        t0 = time.monotonic()
+        return self.engine.decode_steps_begin(want_details=want), t0
+
+    def _decode_end(self, begun):
+        """Executor thread: fetch the outputs of a dispatched chunk.
+        With two-deep pipelining the observed duration spans queueing
+        behind the previous chunk — i.e. true chunk latency."""
+        handle, t0 = begun
+        steps = self.engine.decode_steps_end(handle)
+        metrics.observe("tgi_batch_inference_duration",
+                        time.monotonic() - t0, method="next_token")
+        metrics.increment("tgi_batch_inference_count", method="next_token")
+        metrics.increment("tgi_batch_inference_success", method="next_token")
+        metrics.observe("tgi_batch_inference_batch_size", len(self.active),
+                        method="next_token")
+        return steps, getattr(self.engine, "last_n_emitted", None)
 
     def _decode_call(self):
         """Runs on the executor thread: one engine decode dispatch + fetch.
