@@ -81,6 +81,24 @@ class TestEndToEnd:
                        num_samples=4, seq_len=64)
         return str(out)
 
+    def test_quantize_gptq_flag(self, quantized_dir):
+        """QUANTIZE=gptq is a requirement-check, not a quantizer: it loads
+        a GPTQ checkpoint fine and errors on an fp one (closing the silent
+        no-op the reference also trips on, server/main.py plumbing)."""
+        from text_generation_inference_tpu.models import families
+
+        spec, params = families.load_model(quantized_dir, dtype=jnp.float32,
+                                           quantize="gptq")
+        from text_generation_inference_tpu.ops.quant.int4 import Int4Weight
+
+        assert isinstance(params["layers"]["wq"], Int4Weight)
+        with pytest.raises(ValueError, match="no GPTQ tensors"):
+            families.load_model(fixtures.tiny_llama(), dtype=jnp.float32,
+                                quantize="gptq")
+        with pytest.raises(ValueError, match="unsupported quantize"):
+            families.load_model(fixtures.tiny_llama(), dtype=jnp.float32,
+                                quantize="int4")
+
     def test_load_and_generate(self, quantized_dir):
         from text_generation_inference_tpu.config import ServingConfig
         from text_generation_inference_tpu.engine.engine import (

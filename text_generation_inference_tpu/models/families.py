@@ -18,6 +18,7 @@ import json
 from pathlib import Path
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -510,4 +511,23 @@ def load_model(model_dir: str, dtype=jnp.bfloat16,
         from ..ops.quant.int8 import quantize_layer_params
 
         params = quantize_layer_params(params)
+    elif quantize == "gptq":
+        # GPTQ has no load-time quantization path (it needs calibration,
+        # done offline via `cli.py quantize`); the flag is a *requirement*
+        # that the checkpoint already carries GPTQ tensors. Erroring here
+        # closes the trap where QUANTIZE=gptq on an fp checkpoint would
+        # silently serve full-precision weights.
+        from ..ops.quant.int4 import Int4Weight
+
+        if not any(isinstance(leaf, Int4Weight)
+                   for leaf in jax.tree_util.tree_leaves(
+                       params, is_leaf=lambda x: isinstance(x, Int4Weight))):
+            raise ValueError(
+                "QUANTIZE=gptq but the checkpoint has no GPTQ tensors "
+                "(qweight/qzeros/scales); quantize it offline first "
+                "(`text-generation-inference-tpu quantize`) or unset "
+                "QUANTIZE")
+    elif quantize is not None:
+        raise ValueError(f"unsupported quantize mode {quantize!r}; "
+                         "expected 'int8' or 'gptq'")
     return spec, params

@@ -83,8 +83,7 @@ def build_engine(config: ServingConfig):
         return engine, tokenizer, "encoder_decoder"
 
     spec, params = families.load_model(
-        config.model_name, dtype=dtype,
-        quantize=config.quantize if config.quantize == "int8" else None)
+        config.model_name, dtype=dtype, quantize=config.quantize)
     # tensor parallelism: shard over all local (or TENSOR_PARALLEL) devices
     mesh = None
     n_dev = len(jax.devices())
