@@ -438,6 +438,105 @@ def main():
                 zb = jnp.asarray(rng.normal(
                     size=(IN_F // GS, OUT_F)).astype(np.float32))
                 ms = _time(bitcast_kernel, x, qw, sc, zb)
+            elif variant in ("scanstack", "unrollL", "scanidx"):
+                # Layer-loop structure A/B: does feeding stacked weights
+                # through lax.scan xs (per-iteration dynamic-slice ->
+                # materialized copy before the custom call) triple decode
+                # weight traffic vs reading them in place?
+                #   scanstack — engine's current shape: scan over stacked
+                #               leaves, int4_matmul_s4 on the slice
+                #   unrollL   — Python loop over L separate persistent
+                #               per-layer arrays (no slicing at all)
+                #   scanidx   — scan over the layer INDEX; stacked kernel
+                #               reads blocks via scalar-prefetch indexing
+                # s4 conversion happens INSIDE the jit, hoisted above the
+                # layer loop (exactly the engine's prepare_params shape):
+                # persistent s4 arrays cannot cross jit boundaries on this
+                # backend (UNIMPLEMENTED at transfer). KREP repeats amortize
+                # the conversion to ~1/KREP of a matmul per matmul.
+                from text_generation_inference_tpu.ops.pallas.int4_matmul \
+                    import (int4_matmul_s4, int4_matmul_s4_stacked,
+                            prep_stacked_scales, stacked_blocks)
+                from text_generation_inference_tpu.ops.quant.int4 \
+                    import Int4Weight
+
+                # KREP x LST = 512 matmuls/call: the ~33 ms tunnel fetch
+                # amortizes to ~0.06 ms/matmul (at 8x8 it was ~0.5 ms —
+                # bigger than the kernel itself, burying the comparison)
+                LST, KREP = 8, 64
+                w8s = jnp.asarray(rng.integers(
+                    -8, 8, size=(LST, IN_F, OUT_F),
+                    dtype=np.int64).astype(np.int8))
+                scs = jnp.asarray(rng.normal(
+                    size=(LST, IN_F // GS, OUT_F)).astype(np.float32))
+                zbs = jnp.asarray(rng.normal(
+                    size=(LST, IN_F // GS, OUT_F)).astype(np.float32))
+
+                def mk_w(q4, sc, zb):
+                    return Int4Weight(qweight=None, qzeros=None, scales=sc,
+                                      g_idx=None, zbias=zb, q4=q4)
+
+                # weights ride as jit ARGUMENTS (closure-captured concrete
+                # arrays bake into the HLO as literals — a 400 MB compile
+                # payload the remote-compile tunnel rejects with HTTP 413)
+                if variant == "scanstack":
+                    def f(x, w8s, scs, zbs):
+                        q4s = w8s.astype(jnp.int4)
+
+                        def body(x, inputs):
+                            q4, sc, zb = inputs
+                            y = int4_matmul_s4(x, mk_w(q4, sc, zb))
+                            return (y[:, :IN_F] * 1e-3).astype(x.dtype), None
+
+                        def rep(x, _):
+                            x, _ = jax.lax.scan(body, x, (q4s, scs, zbs))
+                            return x, None
+                        x, _ = jax.lax.scan(rep, x, None, length=KREP)
+                        return x
+
+                    extra = (w8s, scs, zbs)
+                elif variant == "unrollL":
+                    def f(x, w8s, scs, zbs):
+                        per_layer = [
+                            mk_w(w8s[l].astype(jnp.int4), scs[l], zbs[l])
+                            for l in range(LST)]
+                        for _ in range(KREP):
+                            for w in per_layer:
+                                y = int4_matmul_s4(x, w)
+                                x = (y[:, :IN_F] * 1e-3).astype(x.dtype)
+                        return x
+
+                    extra = (w8s, scs, zbs)
+                else:  # scanidx
+                    bi, _bo = stacked_blocks(IN_F, OUT_F, GS, S)
+                    sc_b, zb_b = prep_stacked_scales(scs, zbs, IN_F, bi, GS)
+
+                    def f(x, w8s, sc_b, zb_b):
+                        q4s = w8s.astype(jnp.int4)
+
+                        def body(x, li):
+                            y = int4_matmul_s4_stacked(
+                                x, q4s, sc_b, zb_b, li, groupsize=GS)
+                            return (y[:, :IN_F] * 1e-3).astype(x.dtype), None
+
+                        def rep(x, _):
+                            x, _ = jax.lax.scan(
+                                body, x, jnp.arange(LST, dtype=jnp.int32))
+                            return x, None
+                        x, _ = jax.lax.scan(rep, x, None, length=KREP)
+                        return x
+
+                    extra = (w8s, sc_b, zb_b)
+
+                g = jax.jit(f)
+                y = g(x, *extra)
+                np.asarray(y[0, 0])
+                t0 = time.perf_counter()
+                for _ in range(CALLS):
+                    y = g(x, *extra)
+                    np.asarray(y[0, 0])
+                # per-matmul ms (LST*KREP matmuls per call)
+                ms = (time.perf_counter() - t0) / CALLS / (LST * KREP) * 1e3
             elif variant == "pallas4p":
                 ms = _probe_persistent_s4()
             elif variant == "reals4":

@@ -115,8 +115,8 @@ class PrefillResult(NamedTuple):
 def _decode_step(spec: DecoderSpec, eos_id: int, params: dict,
                  cache: KVCache, state: EngineState,
                  write_mode: str = "post", want_details: bool = True):
-    params = linops.prepare_params(params)
     s, t_max = state.history.shape
+    params = linops.prepare_params(params, rows=s)
     rows = jnp.arange(s)
     pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
     ids = state.history[rows, pos]
@@ -147,7 +147,7 @@ def _decode_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
     per-fetch host/tunnel overhead — with the host-side stopping logic
     applied per token afterwards, behavior is identical except that slots
     whose request stops mid-chunk compute (discarded) extra tokens."""
-    params = linops.prepare_params(params)
+    params = linops.prepare_params(params, rows=state.history.shape[0])
 
     def body(carry, _):
         cache, state = carry
@@ -177,8 +177,8 @@ def _decode_ring_multi(spec: DecoderSpec, eos_id: int, num_steps: int,
     engine picks the smallest configured bucket that covers the live
     maximum; in-chunk tokens live in the ring buffer, not the cache). The
     chunk-end scatter still targets the full cache."""
-    params = linops.prepare_params(params)
     s, t_max = state.history.shape
+    params = linops.prepare_params(params, rows=s)
     rows = jnp.arange(s)
     chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)   # [S]
     if cache_rows is not None and cache_rows < t_max:

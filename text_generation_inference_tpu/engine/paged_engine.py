@@ -43,8 +43,8 @@ logger = logging.getLogger(__name__)
 def _paged_decode_step(spec: DecoderSpec, eos_id: int, page_size: int,
                        params: dict, cache: PagedKVCache, state: EngineState,
                        want_details: bool = True, mesh=None):
-    params = linops.prepare_params(params)
     s, t_max = state.history.shape
+    params = linops.prepare_params(params, rows=s)
     rows = jnp.arange(s)
     pos = jnp.clip(state.history_len - 1, 0, t_max - 1)
     ids = state.history[rows, pos]
@@ -69,7 +69,8 @@ def _paged_decode_step(spec: DecoderSpec, eos_id: int, page_size: int,
 
 def _paged_decode_multi(spec, eos_id, page_size, num_steps,
                         params, cache, state, want_details=True, mesh=None):
-    params = linops.prepare_params(params)   # once, outside the scan
+    params = linops.prepare_params(
+        params, rows=state.history.shape[0])   # once, outside the scan
 
     def body(carry, _):
         cache, state = carry
@@ -99,8 +100,8 @@ def _paged_ring_multi(spec: DecoderSpec, eos_id: int, page_size: int,
     dominate at serving shapes; bigger buckets use the Pallas paged kernel
     + flash-decoding merge (decode_paged_ring_step), which streams pages
     without materializing the dense copy."""
-    params = linops.prepare_params(params)
     s, t_max = state.history.shape
+    params = linops.prepare_params(params, rows=s)
     rows = jnp.arange(s)
     chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)
     active0 = state.active     # constant within a chunk (frees apply between)

@@ -165,8 +165,9 @@ def _paged_spec_decode_step(spec: DecoderSpec, sspec: SpeculatorSpec,
     from ..models import paged_core
     from ..ops import linear as linops
 
-    params = linops.prepare_params(params)
     s, t_max = state.history.shape
+    # verify_chunk matmul rows = slots x (1 draft-anchor + n_predict drafts)
+    params = linops.prepare_params(params, rows=s * (1 + sspec.n_predict))
     rows = jnp.arange(s)
     pos0 = jnp.clip(state.history_len - 1, 0, t_max - 1)
     last_ids = state.history[rows, pos0]

@@ -288,6 +288,30 @@ def _embed(spec: DecoderSpec, params: dict, ids: jax.Array, positions: jax.Array
     return x
 
 
+def _layer_scan(layer_fn, x, layers, other_xs):
+    """`lax.scan` over the layer-stacked params. When layer-stacked s4
+    INT4 weights are present (post-prepare_params, TPU), they are lifted
+    OUT of the scan xs and indexed per layer inside the Pallas kernel via
+    scalar prefetch (linops.split_stacked_quant): a scan-xs dynamic-slice
+    feeding a custom call is materialized by XLA — slice read + slice
+    write + kernel read ≈ 3x the weight traffic of the decode floor
+    (measured: scripts/probe_int4.py scanstack vs scanidx). Everything
+    else (dense weights, KV slabs) rides the scan unchanged."""
+    split = linops.split_stacked_quant(
+        layers, rows=int(np.prod(x.shape[:-1])))
+    if split is None:
+        return jax.lax.scan(layer_fn, x, (layers, *other_xs))
+    dense_layers, num_layers, rebuild = split
+
+    def body(carry, inputs):
+        li, dlp, *rest = inputs
+        return layer_fn(carry, (rebuild(dlp, li), *rest))
+
+    return jax.lax.scan(
+        body, x, (jnp.arange(num_layers, dtype=jnp.int32), dense_layers,
+                  *other_xs))
+
+
 def verify_chunk(
     spec: DecoderSpec,
     params: dict,
@@ -367,7 +391,8 @@ def verify_chunk(
             x = x + _mlp(spec, lp, h2)
         return x, (ck, cv)
 
-    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
+    x, (new_k, new_v) = _layer_scan(layer, x, params["layers"],
+                                    (cache.k, cache.v))
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     return logits, x, KVCache(k=new_k, v=new_v)
@@ -530,13 +555,13 @@ def prefill(
         return x, ((ck, cv, csk, csv) if quant else (ck, cv))
 
     if quant:
-        x, (new_k, new_v, new_sk, new_sv) = jax.lax.scan(
-            layer, x, (params["layers"], cache.k, cache.v,
-                       cache.k_scale, cache.v_scale))
+        x, (new_k, new_v, new_sk, new_sv) = _layer_scan(
+            layer, x, params["layers"], (cache.k, cache.v,
+                                         cache.k_scale, cache.v_scale))
         new_cache = KVCache(k=new_k, v=new_v, k_scale=new_sk, v_scale=new_sv)
     else:
-        x, (new_k, new_v) = jax.lax.scan(
-            layer, x, (params["layers"], cache.k, cache.v))
+        x, (new_k, new_v) = _layer_scan(
+            layer, x, params["layers"], (cache.k, cache.v))
         new_cache = KVCache(k=new_k, v=new_v)
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
@@ -661,10 +686,10 @@ def decode_ring_step(
             x = x + _mlp(spec, lp, h2)
         return x, (k, v)
 
-    xs = ((params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale,
+    xs = ((cache.k, cache.v, cache.k_scale, cache.v_scale,
            kbuf, vbuf) if quant
-          else (params["layers"], cache.k, cache.v, kbuf, vbuf))
-    x, (k_all, v_all) = jax.lax.scan(layer, x, xs)
+          else (cache.k, cache.v, kbuf, vbuf))
+    x, (k_all, v_all) = _layer_scan(layer, x, params["layers"], xs)
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     return logits, k_all, v_all
@@ -798,8 +823,8 @@ def decode(
                 x = x + _mlp(spec, lp, h2)
             return x, (k, v)
 
-        x, (k_all, v_all) = jax.lax.scan(
-            layer, x, (params["layers"], cache.k, cache.v))
+        x, (k_all, v_all) = _layer_scan(
+            layer, x, params["layers"], (cache.k, cache.v))
         # advanced indices separated by slices move to the FRONT of the
         # result: the updated region is [S, L, K, D]
         new_k = cache.k.at[:, rows, :, positions, :].set(
@@ -838,7 +863,8 @@ def decode(
             x = x + _mlp(spec, lp, h2)
         return x, (ck, cv)
 
-    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
+    x, (new_k, new_v) = _layer_scan(layer, x, params["layers"],
+                                    (cache.k, cache.v))
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     return logits, KVCache(k=new_k, v=new_v)

@@ -32,6 +32,7 @@ from .core import (
     _apply_rope,
     _attn_out,
     _embed,
+    _layer_scan,
     _mlp,
     _norm,
     _qkv,
@@ -156,7 +157,8 @@ def decode_paged(
             x = x + _mlp(spec, lp, h2)
         return x, (kp, vp)
 
-    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
+    x, (new_k, new_v) = _layer_scan(layer, x, params["layers"],
+                                    (cache.k, cache.v))
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     return logits, cache._replace(k=new_k, v=new_v)
@@ -298,8 +300,8 @@ def decode_paged_ring_step(
             x = x + _mlp(spec, lp, h2)
         return x, (k, v)
 
-    x, (k_all, v_all) = jax.lax.scan(
-        layer, x, (params["layers"], cache.k, cache.v, kbuf, vbuf))
+    x, (k_all, v_all) = _layer_scan(
+        layer, x, params["layers"], (cache.k, cache.v, kbuf, vbuf))
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     return logits, k_all, v_all
@@ -464,7 +466,8 @@ def prefill_paged(
             v_rows.transpose(1, 0, 2).astype(vp.dtype), mode="drop")
         return x, (kp, vp)
 
-    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["layers"], cache.k, cache.v))
+    x, (new_k, new_v) = _layer_scan(layer, x, params["layers"],
+                                    (cache.k, cache.v))
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     if return_hidden:

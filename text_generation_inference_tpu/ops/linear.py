@@ -9,6 +9,8 @@ exllama/triton/bnb implementations).
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +18,27 @@ import os
 
 from .quant.int4 import Int4Weight, matmul_dequant, populate_q4, to_lane
 from .quant.int8 import Int8Weight, matmul_int8
+
+
+class Int4Stacked(NamedTuple):
+    """A single layer's view into a layer-STACKED s4 weight, resolved by a
+    traced layer index instead of a slice. Inside a `lax.scan` over layers,
+    feeding per-layer weight slices (scan xs) to a Pallas call forces XLA
+    to MATERIALIZE each slice in HBM (slice read + slice write + kernel
+    read ≈ 3x the weight traffic decode should pay). This ref keeps the
+    stacked arrays whole — closed over the scan — and the kernel reads the
+    layer's blocks directly via scalar-prefetch indexing
+    (ops/pallas/int4_matmul.py::int4_matmul_s4_stacked).
+
+    Not a jit-boundary type: constructed inside a trace by
+    core._layer_scan via split_stacked_quant()'s rebuild fn."""
+    q4: jax.Array            # [L, in, out] s4 (whole stack)
+    sc_b: jax.Array          # [L, ni, gpb_pad, out] blocked scales
+    zb_b: jax.Array          # [L, ni, gpb_pad, out] blocked zbias (s4-shifted)
+    perm: Optional[jax.Array]  # [L, in] i32 act-order input perm, or None
+    layer: jax.Array         # scalar i32 (traced) layer index
+    groupsize: int
+    out_features: int
 
 
 def _use_pallas() -> bool:
@@ -31,6 +54,18 @@ def _native_s4() -> bool:
 
 def matmul(x: jax.Array, w) -> jax.Array:
     """x @ w for dense or quantized w. x: [..., in] → [..., out]."""
+    if isinstance(w, Int4Stacked):
+        if w.perm is not None:
+            p = jax.lax.dynamic_index_in_dim(w.perm, w.layer, 0,
+                                             keepdims=False)
+            x = jnp.take(x, p, axis=-1)
+        from .pallas.int4_matmul import int4_matmul_s4_stacked
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        y = int4_matmul_s4_stacked(x2, w.q4, w.sc_b, w.zb_b, w.layer,
+                                   groupsize=w.groupsize)
+        return y.reshape(*lead, w.out_features)
     if isinstance(w, Int8Weight):
         return matmul_int8(x, w)
     if isinstance(w, Int4Weight):
@@ -60,21 +95,39 @@ def matmul(x: jax.Array, w) -> jax.Array:
     return jnp.dot(x, w)
 
 
-def prepare_params(params):
+def prepare_params(params, rows: Optional[int] = None):
     """Called INSIDE an engine step jit, before the layer scan: converts
     packed Int4Weight leaves to the native-s4 representation consumed by
     int4_matmul_s4 (~12x faster than the packed kernel). The unpack
     relayout runs once per dispatch — amortized over the whole decode
     chunk — instead of once per matmul. Persistent storage stays 4-bit
-    packed: s4 arrays cannot cross jit boundaries on every backend."""
+    packed: s4 arrays cannot cross jit boundaries on every backend.
+
+    `rows` (the matmul row count of the step about to run, e.g. the slot
+    count for decode) additionally precomputes the BLOCKED scale/zbias
+    views the stacked scalar-prefetch kernel reads (Int4Weight.sc_b/zb_b)
+    — once per dispatch here, instead of once per layer-scan iteration
+    inside split_stacked_quant."""
     if not (_use_pallas() and _native_s4()) \
             or os.getenv("INT4_IMPL", "") == "packed":
         return params
 
+    block_scales = rows is not None and _stacked_enabled()
+    if block_scales:
+        from .pallas.int4_matmul import prep_stacked_scales, stacked_blocks
+
     def conv(leaf):
         if isinstance(leaf, Int4Weight) and leaf.zbias is not None \
                 and (leaf.qweight is not None or leaf.qlane is not None):
-            return populate_q4(leaf)
+            leaf = populate_q4(leaf)
+            if block_scales and leaf.q4 is not None and leaf.q4.ndim == 3:
+                _, in_f, out_f = leaf.q4.shape
+                gs = in_f // leaf.scales.shape[-2]
+                bi, _bo = stacked_blocks(in_f, out_f, gs, rows)
+                sc_b, zb_b = prep_stacked_scales(
+                    leaf.scales, leaf.zbias, in_f, bi, gs)
+                leaf = leaf._replace(sc_b=sc_b, zb_b=zb_b)
+            return leaf
         return leaf
 
     return jax.tree_util.tree_map(
@@ -120,3 +173,74 @@ def prepare_storage(params):
 
 def is_quantized(w) -> bool:
     return isinstance(w, (Int4Weight, Int8Weight))
+
+
+def _stacked_enabled() -> bool:
+    return os.getenv("INT4_STACKED", "1").lower() not in ("0", "false")
+
+
+def split_stacked_quant(layers, rows: int):
+    """Prepare a layer-stacked param tree for a layer scan WITHOUT weight
+    slices: layer-stacked s4 Int4Weight leaves are lifted out of the scan
+    xs (replaced by a [L] placeholder) and re-presented per layer as
+    Int4Stacked refs whose Pallas kernel indexes the whole stack by a
+    scalar-prefetched layer id — no per-iteration dynamic-slice
+    materialization (see Int4Stacked).
+
+    `rows` must be the row count x will have at matmul time (the kernel's
+    block pick keys on it). Returns None when nothing qualifies (no
+    stacked q4 leaves, CPU backend, or INT4_STACKED=0) — callers then run
+    the plain scan. Otherwise returns (dense_layers, num_layers, rebuild)
+    where rebuild(sliced_dense_lp, layer_idx) -> the per-layer param tree
+    to hand the layer body."""
+    if not (_use_pallas() and _stacked_enabled()):
+        return None
+
+    def is_q(leaf):
+        return isinstance(leaf, Int4Weight)
+
+    leaves, treedef = jax.tree_util.tree_flatten(layers, is_leaf=is_q)
+    refs = {}
+    num_layers = None
+    from .pallas.int4_matmul import prep_stacked_scales, stacked_blocks
+
+    for i, leaf in enumerate(leaves):
+        if not (is_q(leaf) and leaf.q4 is not None and leaf.q4.ndim == 3):
+            continue
+        lcount, in_f, out_f = leaf.q4.shape
+        gs = in_f // leaf.scales.shape[-2]
+        if leaf.sc_b is not None:
+            # pre-blocked by prepare_params(rows=...) once per dispatch;
+            # verify the block pick matches this call site's row count
+            bi, _bo = stacked_blocks(in_f, out_f, gs, rows)
+            if leaf.sc_b.shape[1] != in_f // bi:
+                return None      # row-count mismatch: fall back to scan xs
+            sc_b, zb_b = leaf.sc_b, leaf.zb_b
+        else:
+            # not pre-blocked: computed here, INSIDE the caller's trace —
+            # loop-invariant but only hoisted out of a surrounding step
+            # scan if XLA's LICM fires; engines should pass rows to
+            # prepare_params instead
+            bi, _bo = stacked_blocks(in_f, out_f, gs, rows)
+            sc_b, zb_b = prep_stacked_scales(leaf.scales, leaf.zbias, in_f,
+                                             bi, gs)
+        refs[i] = (leaf.q4, sc_b, zb_b, leaf.perm, gs, out_f)
+        num_layers = lcount
+    if not refs:
+        return None
+
+    placeholder = jnp.zeros((num_layers,), jnp.int8)
+    dense_leaves = [placeholder if i in refs else leaf
+                    for i, leaf in enumerate(leaves)]
+    dense_layers = jax.tree_util.tree_unflatten(treedef, dense_leaves)
+
+    def rebuild(dlp, layer_idx):
+        dl, td = jax.tree_util.tree_flatten(dlp, is_leaf=is_q)
+        out = list(dl)
+        for i, (q4, sc_b, zb_b, perm, gs, out_f) in refs.items():
+            out[i] = Int4Stacked(q4=q4, sc_b=sc_b, zb_b=zb_b, perm=perm,
+                                 layer=layer_idx, groupsize=gs,
+                                 out_features=out_f)
+        return jax.tree_util.tree_unflatten(td, out)
+
+    return dense_layers, num_layers, rebuild

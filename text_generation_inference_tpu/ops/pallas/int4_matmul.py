@@ -138,6 +138,139 @@ def _kernel_s4(x_ref,        # [S, BI]
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _kernel_s4_stacked(li_ref,       # scalar prefetch: [1] int32 layer id
+                       x_ref,        # [S, BI]
+                       q4_ref,       # [1, BI, BO] int4 (selected layer)
+                       sc_ref,       # [1, 1, GPB_PAD, BO]
+                       zb_ref,       # [1, 1, GPB_PAD, BO]
+                       o_ref,        # [S, BO]
+                       acc_ref,      # VMEM [S, BO] f32
+                       *, block_in: int, groupsize: int, compute_dtype):
+    """Stacked-weight variant of _kernel_s4: the whole [L, in, out] tensor
+    rides in as one operand and the layer index arrives via scalar
+    prefetch, so the per-layer block DMA reads HBM at the right offset
+    directly. Motivation: inside a `lax.scan` over layers, per-iteration
+    weight slices (scan xs) are dynamic-slices that XLA must MATERIALIZE
+    before a custom call — tripling decode weight traffic (slice read +
+    slice write + kernel read). Scalar-prefetch indexing removes the
+    copy, which is the difference between ~3x and ~1x of the weight-read
+    floor on the 7B INT4 chain (scripts/probe_int4.py scanstack/scanidx)."""
+    del li_ref
+    ii = pl.program_id(1)
+    ni = pl.num_programs(1)
+    gpb = block_in // groupsize
+
+    @pl.when(ii == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = q4_ref[0].astype(compute_dtype)                # [BI, BO]
+    bo = w.shape[1]
+    sc = sc_ref[0, 0, :gpb, :]
+    zb = zb_ref[0, 0, :gpb, :]
+    x = x_ref[...].astype(compute_dtype)
+    xg = x.reshape(x.shape[0], gpb, groupsize)
+    wg = w.reshape(gpb, groupsize, bo)
+    acc = jnp.zeros_like(acc_ref)
+    for g in range(gpb):
+        partial = jax.lax.dot_general(
+            xg[:, g, :], wg[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [S, BO]
+        acc = acc + partial * sc[g][None, :].astype(jnp.float32)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)     # [S, GPB]
+    acc = acc - jax.lax.dot_general(
+        xsum, zb.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] += acc
+
+    @pl.when(ii == ni - 1)
+    def _finish():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def prep_stacked_scales(scales: jax.Array, zbias: jax.Array, in_f: int,
+                        block_in: int, groupsize: int,
+                        compute_dtype=jnp.bfloat16) -> tuple[jax.Array,
+                                                             jax.Array]:
+    """Blocked scale/zbias layout for int4_matmul_s4_stacked: [L, groups,
+    out] -> [L, ni, GPB_PAD, out] with the s4 zero-shift folded in
+    (zb4 = zbias - 8*scale). Hoist this OUT of the layer scan (engines do
+    it once per decode-chunk dispatch) so the reshape isn't re-traced per
+    layer."""
+    L, groups, out_f = scales.shape
+    ni = in_f // block_in
+    gpb = block_in // groupsize
+    gpb_pad = -(-gpb // _GPB_PAD) * _GPB_PAD
+    sc = scales.astype(compute_dtype).reshape(L, ni, gpb, out_f)
+    zb4 = (zbias.astype(jnp.float32)
+           - 8.0 * scales.astype(jnp.float32)).astype(compute_dtype)
+    zb = zb4.reshape(L, ni, gpb, out_f)
+    if gpb < gpb_pad:
+        pad = ((0, 0), (0, 0), (0, gpb_pad - gpb), (0, 0))
+        sc = jnp.pad(sc, pad)
+        zb = jnp.pad(zb, pad)
+    return sc, zb
+
+
+def stacked_blocks(in_f: int, out_f: int, groupsize: int,
+                   s: int) -> tuple[int, int]:
+    """The (block_in, block_out) int4_matmul_s4_stacked will use for this
+    shape — callers need it to prep scales via prep_stacked_scales."""
+    return _auto_blocks(in_f, out_f, groupsize, max(8, -(-s // 8) * 8))
+
+
+def int4_matmul_s4_stacked(x: jax.Array, q4: jax.Array, sc_blocked: jax.Array,
+                           zb_blocked: jax.Array, layer: jax.Array, *,
+                           groupsize: int,
+                           compute_dtype=jnp.bfloat16,
+                           interpret: bool = False) -> jax.Array:
+    """y = x @ dequant(q4[layer]) reading the layer's blocks directly from
+    the stacked [L, in, out] s4 tensor (scalar-prefetch index; NO per-layer
+    slice materialization — see _kernel_s4_stacked). sc/zb come
+    pre-blocked from prep_stacked_scales. Sequential g_idx only."""
+    s, in_f = x.shape
+    L, in_q, out_f = q4.shape
+    assert in_q == in_f
+    block_in, block_out = stacked_blocks(in_f, out_f, groupsize, s)
+    gpb = block_in // groupsize
+    gpb_pad = -(-gpb // _GPB_PAD) * _GPB_PAD
+    assert sc_blocked.shape == (L, in_f // block_in, gpb_pad, out_f), \
+        (sc_blocked.shape, (L, in_f // block_in, gpb_pad, out_f))
+
+    s_pad = max(8, -(-s // 8) * 8)
+    if s_pad != s:
+        x = jnp.pad(x, ((0, s_pad - s), (0, 0)))
+    ni = in_f // block_in
+    no = out_f // block_out
+
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(no, ni),
+        in_specs=[
+            pl.BlockSpec((s_pad, block_in), lambda oi, ii, li: (0, ii)),
+            pl.BlockSpec((1, block_in, block_out),
+                         lambda oi, ii, li: (li[0], ii, oi)),
+            pl.BlockSpec((1, 1, gpb_pad, block_out),
+                         lambda oi, ii, li: (li[0], ii, 0, oi)),
+            pl.BlockSpec((1, 1, gpb_pad, block_out),
+                         lambda oi, ii, li: (li[0], ii, 0, oi)),
+        ],
+        out_specs=pl.BlockSpec((s_pad, block_out),
+                               lambda oi, ii, li: (0, oi)),
+        scratch_shapes=[pltpu.VMEM((s_pad, block_out), jnp.float32)],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_kernel_s4_stacked, block_in=block_in,
+                          groupsize=groupsize, compute_dtype=compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s_pad, out_f), x.dtype),
+        interpret=interpret,
+    )
+    y = kernel(li, x, q4, sc_blocked, zb_blocked)
+    return y[:s] if s_pad != s else y
+
+
 def _auto_blocks(in_f: int, out_f: int, groupsize: int,
                  s_pad: int) -> tuple[int, int]:
     """Pick (block_in, block_out) minimizing the grid-iteration count under

@@ -54,6 +54,13 @@ class Int4Weight(NamedTuple):
     # conversion vs ~10). Populated once at load by ops.linear
     # .prepare_storage(); qweight/qzeros are dropped then.
     qlane: jax.Array | None = None
+    # BLOCKED scale/zbias views [L, ni, gpb_pad, out] for the stacked
+    # scalar-prefetch kernel (ops/pallas/int4_matmul.py::
+    # int4_matmul_s4_stacked). Populated in-trace by ops.linear
+    # .prepare_params(rows=...) once per dispatch — never persisted, never
+    # sharded (the layout is derived from scales/zbias after sharding).
+    sc_b: jax.Array | None = None
+    zb_b: jax.Array | None = None
 
     @property
     def in_features(self) -> int:
