@@ -155,6 +155,119 @@ def tokenized_model_dir() -> str:
     return str(out)
 
 
+@functools.lru_cache(maxsize=None)
+def tiny_gptj() -> str:
+    from transformers import GPTJConfig, GPTJForCausalLM
+
+    torch.manual_seed(6)
+    cfg = GPTJConfig(
+        vocab_size=256, n_embd=64, n_layer=3, n_head=4, n_positions=128,
+        rotary_dim=8, activation_function="gelu_new",
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    return _save(GPTJForCausalLM(cfg).eval(), "tiny_gptj")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_codegen() -> str:
+    from transformers import CodeGenConfig, CodeGenForCausalLM
+
+    torch.manual_seed(7)
+    cfg = CodeGenConfig(
+        vocab_size=256, n_embd=64, n_layer=3, n_head=4, n_positions=128,
+        rotary_dim=8, activation_function="gelu_new",
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    return _save(CodeGenForCausalLM(cfg).eval(), "tiny_codegen")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_opt() -> str:
+    from transformers import OPTConfig, OPTForCausalLM
+
+    torch.manual_seed(8)
+    cfg = OPTConfig(
+        vocab_size=256, hidden_size=64, ffn_dim=128, num_hidden_layers=3,
+        num_attention_heads=4, max_position_embeddings=128,
+        do_layer_norm_before=True, word_embed_proj_dim=32,  # exercises project_in/out
+        activation_function="relu", dropout=0.0, attention_dropout=0.0,
+    )
+    return _save(OPTForCausalLM(cfg).eval(), "tiny_opt")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_mpt() -> str:
+    from transformers import MptConfig, MptForCausalLM
+
+    torch.manual_seed(9)
+    # 6 heads (non-power-of-two) exercises MPT's ceil+reorder alibi slopes
+    cfg = MptConfig(
+        vocab_size=256, d_model=96, n_heads=6, n_layers=3, max_seq_len=128,
+    )
+    cfg.attn_config.attn_pdrop = 0.0
+    return _save(MptForCausalLM(cfg).eval(), "tiny_mpt")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_phi() -> str:
+    from transformers import PhiConfig, PhiForCausalLM
+
+    torch.manual_seed(10)
+    cfg = PhiConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, partial_rotary_factor=0.5,
+        hidden_act="gelu_new", qk_layernorm=False,
+        attention_dropout=0.0, hidden_dropout=0.0, resid_pdrop=0.0,
+        embd_pdrop=0.0,
+    )
+    return _save(PhiForCausalLM(cfg).eval(), "tiny_phi")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_mistral() -> str:
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(11)
+    # sliding_window=8 < test sequence lengths, so the window mask is
+    # actually exercised by the HF-parity tests
+    cfg = MistralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, sliding_window=8,
+        attn_implementation="eager",
+    )
+    return _save(MistralForCausalLM(cfg).eval(), "tiny_mistral")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_qwen2() -> str:
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(12)
+    cfg = Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, use_sliding_window=False,
+        tie_word_embeddings=False,
+    )
+    return _save(Qwen2ForCausalLM(cfg).eval(), "tiny_qwen2")
+
+
+@functools.lru_cache(maxsize=None)
+def tiny_gemma() -> str:
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(13)
+    cfg = GemmaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128,
+        hidden_activation="gelu_pytorch_tanh",
+    )
+    return _save(GemmaForCausalLM(cfg).eval(), "tiny_gemma")
+
+
 ALL_DECODER_FIXTURES = {
     "llama": tiny_llama,
     "gpt2": tiny_gpt2,
@@ -162,6 +275,14 @@ ALL_DECODER_FIXTURES = {
     "gpt_neox": tiny_neox,
     "gpt_bigcode": tiny_bigcode,
     "falcon": tiny_falcon,
+    "gptj": tiny_gptj,
+    "codegen": tiny_codegen,
+    "opt": tiny_opt,
+    "mpt": tiny_mpt,
+    "phi": tiny_phi,
+    "mistral": tiny_mistral,
+    "qwen2": tiny_qwen2,
+    "gemma": tiny_gemma,
 }
 
 

@@ -202,6 +202,37 @@ class TestChunkedDecode:
         chunked = run(build(4), 2)
         assert plain == chunked
 
+    def test_per_call_chunk_override_matches(self):
+        """decode_steps(chunk=k) — the stream-aware small chunk — must
+        produce the same token stream as the engine-default chunk, and
+        emit exactly k steps per call."""
+        model_dir = fixtures.tiny_llama()
+        spec, params = families.load_model(model_dir, dtype=jnp.float32)
+
+        def build():
+            cfg = ServingConfig(
+                max_sequence_length=64, max_new_tokens=32,
+                max_batch_slots=2, prefill_buckets=[8, 16],
+                decode_chunk=6, stream_decode_chunk=2)
+            cfg.validate()
+            return InferenceEngine(spec, params, cfg, eos_token_id=2)
+
+        def run(engine, chunks):
+            slot = engine.acquire_slot()
+            res = engine.prefill([slot], [PROMPTS[0]], [RequestParams()])
+            toks = [int(res.first_token.next_ids[0])]
+            for c in chunks:
+                steps = engine.decode_steps(chunk=c)
+                assert len(steps) == (c or engine.decode_chunk)
+                for step in steps:
+                    toks.append(int(step.next_ids[slot]))
+            return toks
+
+        # 12 steps as two default chunks vs mixed small/default chunks
+        ref = run(build(), [None, None])
+        mixed = run(build(), [2, 2, 6, 2])
+        assert ref == mixed
+
 
 class TestMultiPrefill:
     def test_batched_prefill_matches_individual(self):
@@ -255,7 +286,11 @@ class TestWriteModeParity:
                 out["c"].append(int(step.next_ids[sc]))
         return out
 
-    @pytest.mark.parametrize("fixture", ["tiny_llama", "tiny_bloom"])
+    # tiny_mistral: sliding-window masking (window=8 < the streamed
+    # context) must agree across all three KV-write paths; tiny_mpt: the
+    # mpt-variant alibi slopes through the ring/scan decode formulations
+    @pytest.mark.parametrize(
+        "fixture", ["tiny_llama", "tiny_bloom", "tiny_mistral", "tiny_mpt"])
     def test_modes_agree(self, fixture):
         model_dir = getattr(fixtures, fixture)()
         ref = self._staggered_run(self._build(model_dir, "post", 4))

@@ -201,6 +201,8 @@ class PagedInferenceEngine:
 
     # see InferenceEngine.supports_decode_pipeline
     supports_decode_pipeline = True
+    # see InferenceEngine.supports_chunk_override
+    supports_chunk_override = True
 
     def __init__(self, spec: DecoderSpec, params: dict, config: ServingConfig,
                  eos_token_id: int, num_pages: Optional[int] = None,
@@ -209,6 +211,15 @@ class PagedInferenceEngine:
             raise ValueError(
                 "kv_cache_dtype=int8 is not yet supported on the paged "
                 "engine; use the slot engine (PAGED_ATTENTION=0)")
+        if spec.sliding_window is not None \
+                and config.max_sequence_length > spec.sliding_window:
+            # paged attention has no window mask yet; within the window the
+            # full-attention math is identical, so short max_seq is exact
+            raise ValueError(
+                f"sliding-window attention (window={spec.sliding_window}) "
+                f"with max_sequence_length={config.max_sequence_length} > "
+                "window is only supported on the slot engine "
+                "(PAGED_ATTENTION=0)")
         self.spec = spec
         self.mesh = mesh
         if mesh is not None and mesh.shape.get("model", 1) > 1:
@@ -296,22 +307,34 @@ class PagedInferenceEngine:
                 return b
         return mp
 
+    def _chunk_grid(self) -> tuple:
+        """See InferenceEngine._chunk_grid: throughput chunk + optional
+        small streaming chunk."""
+        chunks = {self.decode_chunk}
+        sc = getattr(self.config, "stream_decode_chunk", 0)
+        if sc and 1 <= sc < self.decode_chunk:
+            chunks.add(sc)
+        return tuple(sorted(chunks))
+
     def precompile_decode(self, details=(False, True)) -> int:
-        """AOT-compile every decode program (live-page bucket x details
-        variant) without running a step or touching engine state (see
+        """AOT-compile every decode program (live-page bucket x details x
+        chunk variant) without running a step or touching engine state (see
         InferenceEngine.precompile_decode)."""
         n = 0
         for pages in self._page_bucket_grid():
             for want_details in details:
-                self._get_decode_fn(want_details, pages)
-                n += 1
+                for chunk in self._chunk_grid():
+                    self._get_decode_fn(want_details, pages, chunk)
+                    n += 1
         return n
 
-    def _get_decode_fn(self, want_details: bool, live_pages: int):
-        key = (want_details, live_pages)
+    def _get_decode_fn(self, want_details: bool, live_pages: int,
+                       chunk=None):
+        chunk = self.decode_chunk if chunk is None else chunk
+        key = (want_details, live_pages, chunk)
         fn = self._decode_fns.get(key)
         if fn is None:
-            if self.decode_chunk == 1:
+            if chunk == 1:
                 fn = jax.jit(
                     partial(_paged_decode_step, self.spec, self.eos_token_id,
                             self.page_size, want_details=want_details,
@@ -320,7 +343,7 @@ class PagedInferenceEngine:
             elif self._write_mode == "ring":
                 fn = jax.jit(
                     partial(_paged_ring_multi, self.spec, self.eos_token_id,
-                            self.page_size, self.decode_chunk,
+                            self.page_size, chunk,
                             want_details=want_details, mesh=self.mesh,
                             live_pages=live_pages,
                             gather_ctx_max=self.config.paged_gather_ctx_max),
@@ -328,7 +351,7 @@ class PagedInferenceEngine:
             else:
                 fn = jax.jit(
                     partial(_paged_decode_multi, self.spec, self.eos_token_id,
-                            self.page_size, self.decode_chunk,
+                            self.page_size, chunk,
                             want_details=want_details, mesh=self.mesh),
                     donate_argnums=(1, 2))
             # AOT-compile now (state-safe: lower() neither executes nor
@@ -578,25 +601,27 @@ class PagedInferenceEngine:
     def decode(self) -> StepResult:
         return self.decode_steps()[0]
 
-    def decode_steps_begin(self, want_details: bool = True):
+    def decode_steps_begin(self, want_details: bool = True, chunk=None):
         """Dispatch one decode chunk without fetching (see
         InferenceEngine.decode_steps_begin — same two-phase pipelining
         contract; callers overlap chunk N+1's compute with chunk N's host
-        fetch)."""
+        fetch). `chunk` overrides this dispatch's step count (stream-aware
+        chunking; see InferenceEngine.decode_steps_begin)."""
+        chunk = self.decode_chunk if chunk is None else max(1, chunk)
         self.last_n_emitted = None
         self._apply_pending_frees()
         live_pages = self._pick_live_pages()
         t0 = time.monotonic_ns()
         try:
             self.cache, self.state, packed = self._get_decode_fn(
-                want_details, live_pages)(
+                want_details, live_pages, chunk)(
                 self.model_params, self.cache, self.state)
         except Exception as e:
             raise EngineDeviceError(f"paged decode dispatch failed: {e}") from e
         np.minimum(np.where(self._slot_ctx > 0,
-                            self._slot_ctx + self.decode_chunk, 0),
+                            self._slot_ctx + chunk, 0),
                    self.max_seq, out=self._slot_ctx)
-        return (packed, self.decode_chunk, t0)
+        return (packed, chunk, t0)
 
     def decode_steps_end(self, handle) -> list[StepResult]:
         packed, chunk, t0 = handle
@@ -612,5 +637,7 @@ class PagedInferenceEngine:
         self.last_forward_ns = time.monotonic_ns() - t0
         return results
 
-    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
-        return self.decode_steps_end(self.decode_steps_begin(want_details))
+    def decode_steps(self, want_details: bool = True,
+                     chunk=None) -> list[StepResult]:
+        return self.decode_steps_end(
+            self.decode_steps_begin(want_details, chunk=chunk))

@@ -51,7 +51,16 @@ class DecoderSpec:
     rope_theta: float = 10000.0
     rope_scaling: float = 1.0     # linear position-interpolation factor
     rotary_pct: float = 1.0       # fraction of head_dim that rotates (neox)
+    # True: GPT-J/CodeGen "rotate_every_two" pairing (even/odd lanes);
+    # False: GPT-NeoX/Llama "rotate_half" (first/second half)
+    rope_interleaved: bool = False
+    pos_offset: int = 0           # learned-position lookup offset (OPT: 2)
+    alibi_impl: str = "bloom"     # slope formula: "bloom" | "mpt"
     max_position_embeddings: int = 2048
+    # attend only to the last `sliding_window` positions (mistral). The KV
+    # cache stays max_seq-sized (no rolling eviction); masking alone
+    # preserves exact HF semantics.
+    sliding_window: Optional[int] = None
     # norms
     norm: str = "rmsnorm"         # "rmsnorm" | "layernorm"
     norm_eps: float = 1e-5
@@ -60,6 +69,8 @@ class DecoderSpec:
     activation: str = "silu_glu"  # "silu_glu" | "gelu_glu" | "gelu" | "gelu_tanh"
     # structure
     parallel_residual: bool = False  # attn and mlp share the input (neox/falcon)
+    embed_scale: float = 1.0      # multiply token embeddings (gemma: sqrt(D))
+    qkv_clip: Optional[float] = None  # clamp q/k/v to [-clip, clip] (mpt)
     qkv_bias: bool = False
     attn_out_bias: bool = False
     mlp_bias: bool = False
@@ -228,10 +239,14 @@ def _activate(spec: DecoderSpec, up: jax.Array, gate: Optional[jax.Array]) -> ja
         return jax.nn.silu(gate) * up
     if act == "gelu_glu":
         return jax.nn.gelu(gate, approximate=False) * up
+    if act == "gelu_tanh_glu":
+        return jax.nn.gelu(gate, approximate=True) * up
     if act == "gelu":
         return jax.nn.gelu(up, approximate=False)
     if act == "gelu_tanh":
         return jax.nn.gelu(up, approximate=True)
+    if act == "relu":
+        return jax.nn.relu(up)
     raise ValueError(f"unknown activation {act}")
 
 
@@ -246,7 +261,12 @@ def _rope_freqs(spec: DecoderSpec, positions: jax.Array) -> tuple[jax.Array, jax
         spec.rope_theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     pos = positions.astype(jnp.float32) / spec.rope_scaling
     freqs = jnp.einsum("...,f->...f", pos, inv_freq)
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    if spec.rope_interleaved:
+        # GPT-J pairing: each frequency drives an adjacent (even, odd) lane
+        # pair, so the table repeats per-element instead of per-half
+        emb = jnp.repeat(freqs, 2, axis=-1)
+    else:
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
 
@@ -254,17 +274,36 @@ def _apply_rope(spec: DecoderSpec, x: jax.Array, cos: jax.Array, sin: jax.Array)
     """x: [..., heads, head_dim]; cos/sin: [..., rotary_dim] (no head axis)."""
     rd = spec.rotary_dim
     x_rot, x_pass = x[..., :rd], x[..., rd:]
-    half = rd // 2
-    x1, x2 = x_rot[..., :half], x_rot[..., half:]
-    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    if spec.rope_interleaved:
+        # rotate_every_two: (x0, x1) -> (-x1, x0) per adjacent lane pair
+        x1 = x_rot[..., 0::2]
+        x2 = x_rot[..., 1::2]
+        rotated = jnp.stack([-x2, x1], axis=-1).reshape(x_rot.shape)
+    else:
+        half = rd // 2
+        x1, x2 = x_rot[..., :half], x_rot[..., half:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
     cos = cos[..., None, :]
     sin = sin[..., None, :]
     x_rot = (x_rot.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
     return jnp.concatenate([x_rot, x_pass], axis=-1) if rd < x.shape[-1] else x_rot
 
 
-def alibi_slopes(num_heads: int) -> np.ndarray:
-    """ALiBi head slopes (reference: custom_modeling/bloom_modeling.py:104)."""
+def alibi_slopes(num_heads: int, impl: str = "bloom") -> np.ndarray:
+    """ALiBi head slopes (reference: custom_modeling/bloom_modeling.py:104).
+
+    impl="mpt" uses MPT's ceil-power-of-two formula with the even/odd
+    reorder (HF MptModel.build_mpt_alibi_tensor, alibi_bias_max=8); for
+    power-of-two head counts the two formulas coincide, otherwise the
+    slope assignment differs per head.
+    """
+    if impl == "mpt":
+        pow2 = 2 ** math.ceil(math.log2(num_heads))
+        base = np.arange(1, pow2 + 1, dtype=np.float64) * (8.0 / pow2)
+        slopes = 1.0 / np.exp2(base)
+        if pow2 != num_heads:
+            slopes = np.concatenate([slopes[1::2], slopes[0::2]])[:num_heads]
+        return slopes.astype(np.float32)
     closest = 2 ** math.floor(math.log2(num_heads))
     base = 2.0 ** (-(2.0 ** -(math.log2(closest) - 3)))
     slopes = [base ** i for i in range(1, closest + 1)]
@@ -276,8 +315,15 @@ def alibi_slopes(num_heads: int) -> np.ndarray:
 
 def _embed(spec: DecoderSpec, params: dict, ids: jax.Array, positions: jax.Array) -> jax.Array:
     x = jnp.take(params["embed_tokens"], ids, axis=0)
+    if "project_in" in params:
+        # OPT word_embed_proj_dim != hidden_size (opt-350m): tokens embed in
+        # the word dim and project up before positions are added
+        x = jnp.dot(x, params["project_in"])
+    if spec.embed_scale != 1.0:
+        x = (x.astype(jnp.float32) * spec.embed_scale).astype(x.dtype)
     if spec.pos == "learned":
-        x = x + jnp.take(params["embed_positions"], positions, axis=0)
+        x = x + jnp.take(params["embed_positions"],
+                         positions + spec.pos_offset, axis=0)
     if spec.embed_norm:
         p = params["embed_ln"]
         xf = x.astype(jnp.float32)
@@ -342,8 +388,11 @@ def verify_chunk(
     key_pos = jnp.arange(t_max, dtype=jnp.int32)
     # mask [S, C, Tmax]: key visible to candidate j iff key_pos <= pos_j
     mask = key_pos[None, None, :] <= positions[:, :, None]
+    if spec.sliding_window is not None:
+        mask = mask & (key_pos[None, None, :]
+                       > positions[:, :, None] - spec.sliding_window)
     if spec.pos == "alibi":
-        slopes = jnp.asarray(alibi_slopes(spec.num_heads))
+        slopes = jnp.asarray(alibi_slopes(spec.num_heads, spec.alibi_impl))
         bias = slopes[None, :, None, None] * key_pos.astype(jnp.float32)[None, None, None, :]
     else:
         bias = None
@@ -399,13 +448,20 @@ def verify_chunk(
 
 
 def _unembed(spec: DecoderSpec, params: dict, x: jax.Array) -> jax.Array:
+    if "project_out" in params:
+        x = jnp.dot(x, params["project_out"])
     if spec.tie_word_embeddings:
-        return jnp.dot(x, params["embed_tokens"].T,
-                       preferred_element_type=jnp.float32)
-    w = params["lm_head"]
-    if linops.is_quantized(w):
-        return linops.matmul(x, w).astype(jnp.float32)
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+        logits = jnp.dot(x, params["embed_tokens"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        w = params["lm_head"]
+        if linops.is_quantized(w):
+            logits = linops.matmul(x, w).astype(jnp.float32)
+        else:
+            logits = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if "lm_head_bias" in params:
+        logits = logits + params["lm_head_bias"].astype(jnp.float32)
+    return logits
 
 
 def _qkv(spec: DecoderSpec, lp: dict, x: jax.Array):
@@ -426,6 +482,10 @@ def _qkv(spec: DecoderSpec, lp: dict, x: jax.Array):
             q = q + lp["bq"]
             k = k + lp["bk"]
             v = v + lp["bv"]
+    if spec.qkv_clip is not None:
+        q = jnp.clip(q, -spec.qkv_clip, spec.qkv_clip)
+        k = jnp.clip(k, -spec.qkv_clip, spec.qkv_clip)
+        v = jnp.clip(v, -spec.qkv_clip, spec.qkv_clip)
     q = q.reshape(*x.shape[:-1], spec.num_heads, spec.head_dim)
     k = k.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)
     v = v.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)
@@ -504,8 +564,18 @@ def prefill(
     causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
     key_valid = positions < lengths[:, None]        # [N, T] mask padded keys
     mask = causal[None, :, :] & key_valid[:, None, :]
+    if spec.sliding_window is not None:
+        # window applies to REAL query rows only: a padded row past a short
+        # sequence could see zero in-window valid keys, and its all-masked
+        # softmax would mint NaNs that poison later layers' k/v through
+        # 0 * NaN. Padded rows keep the plain causal mask (their output is
+        # garbage either way, but stays finite).
+        qi = jnp.arange(t, dtype=jnp.int32)
+        in_window = (qi[:, None] - qi[None, :]) < spec.sliding_window
+        q_real = positions < lengths[:, None]       # [N, T]
+        mask = mask & (in_window[None, :, :] | ~q_real[:, :, None])
     if spec.pos == "alibi":
-        slopes = jnp.asarray(alibi_slopes(spec.num_heads))
+        slopes = jnp.asarray(alibi_slopes(spec.num_heads, spec.alibi_impl))
         alibi = slopes[:, None] * jnp.arange(t, dtype=jnp.float32)[None, :]
         bias = alibi[None, :, None, :]              # [1, H, 1, T]
     else:
@@ -613,11 +683,17 @@ def decode_ring_step(
     key_pos = jnp.arange(t_max, dtype=jnp.int32)
     cache_mask = key_pos[None, :] < chunk_start[:, None]     # [S, Tmax]
     buf_mask = jnp.arange(n_buf, dtype=jnp.int32)[None, :] < step_idx
+    if spec.sliding_window is not None:
+        lo = positions[:, None] - spec.sliding_window        # exclusive
+        cache_mask = cache_mask & (key_pos[None, :] > lo)
+        buf_pos_sw = (chunk_start[:, None]
+                      + jnp.arange(n_buf, dtype=jnp.int32)[None, :])
+        buf_mask = buf_mask & (buf_pos_sw > lo)              # [S, C]
     scale = 1.0 / math.sqrt(spec.head_dim)
     group = spec.num_heads // spec.num_kv_heads
 
     if spec.pos == "alibi":
-        slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads)).reshape(
+        slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads, spec.alibi_impl)).reshape(
             spec.num_kv_heads, group)
         cache_bias = (slopes_kg[None, :, :, None]
                       * key_pos.astype(jnp.float32)[None, None, None, :])
@@ -769,8 +845,11 @@ def decode(
 
     key_pos = jnp.arange(t_max, dtype=jnp.int32)
     mask = key_pos[None, :] < context_len[:, None]  # [S, Tmax]
+    if spec.sliding_window is not None:
+        mask = mask & (key_pos[None, :]
+                       >= context_len[:, None] - spec.sliding_window)
     if spec.pos == "alibi":
-        slopes = jnp.asarray(alibi_slopes(spec.num_heads))
+        slopes = jnp.asarray(alibi_slopes(spec.num_heads, spec.alibi_impl))
         bias = slopes[:, None] * key_pos.astype(jnp.float32)[None, :]  # [H, Tmax]
     else:
         bias = None
@@ -785,6 +864,9 @@ def decode(
         # the new column explicitly; ONE scatter updates all layers after
         # the scan. Avoids threading full cache slabs through scan ys.
         old_mask = key_pos[None, :] < positions[:, None]    # exclude current
+        if spec.sliding_window is not None:
+            old_mask = old_mask & (
+                key_pos[None, :] > positions[:, None] - spec.sliding_window)
 
         def layer(x, inputs):
             lp, ck, cv = inputs
@@ -804,7 +886,7 @@ def decode(
                 qg.astype(jnp.float32) * k[:, :, None, :].astype(jnp.float32),
                 axis=-1) * scale                            # [S, K, G]
             if bias is not None:
-                slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads)).reshape(
+                slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads, spec.alibi_impl)).reshape(
                     spec.num_kv_heads, group)
                 score_new = score_new + slopes_kg[None]                     * positions[:, None, None].astype(jnp.float32)
             all_scores = jnp.concatenate(

@@ -14,6 +14,7 @@ HF GPT-2 Conv1D already stores [in, out].
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from pathlib import Path
 from typing import Callable
@@ -157,6 +158,166 @@ def _falcon_spec(c: dict) -> DecoderSpec:
     )
 
 
+def _gptj_spec(c: dict) -> DecoderSpec:
+    d = c["n_embd"]
+    h = c["n_head"]
+    dh = d // h
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c["n_layer"],
+        num_heads=h,
+        num_kv_heads=h,
+        head_dim=dh,
+        intermediate_size=c.get("n_inner") or 4 * d,
+        pos="rope",
+        rotary_pct=(c.get("rotary_dim") or dh) / dh,
+        rope_interleaved=True,
+        max_position_embeddings=c["n_positions"],
+        norm="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        activation="gelu_tanh",
+        parallel_residual=True,      # single shared ln_1 (duplicated at load)
+        mlp_bias=True,
+        attn_out_bias=False,
+        tie_word_embeddings=False,
+    )
+
+
+def _codegen_spec(c: dict) -> DecoderSpec:
+    # CodeGen is GPT-J with a fused, mp_num-interleaved qkv projection
+    s = _gptj_spec(c)
+    return dataclasses.replace(s, rotary_pct=(c.get("rotary_dim") or s.head_dim) / s.head_dim)
+
+
+def _opt_spec(c: dict) -> DecoderSpec:
+    if not c.get("do_layer_norm_before", True):
+        raise ValueError(
+            "OPT with do_layer_norm_before=False (opt-350m style post-norm) "
+            "is not supported")
+    d = c["hidden_size"]
+    h = c["num_attention_heads"]
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c["num_hidden_layers"],
+        num_heads=h,
+        num_kv_heads=h,
+        head_dim=d // h,
+        intermediate_size=c["ffn_dim"],
+        pos="learned",
+        pos_offset=2,                # OPTLearnedPositionalEmbedding offset
+        max_position_embeddings=c["max_position_embeddings"],
+        norm="layernorm",
+        activation="relu" if c.get("activation_function", "relu") == "relu" else "gelu",
+        qkv_bias=c.get("enable_bias", True),
+        attn_out_bias=c.get("enable_bias", True),
+        mlp_bias=c.get("enable_bias", True),
+        tie_word_embeddings=c.get("tie_word_embeddings", True),
+    )
+
+
+def _mpt_spec(c: dict) -> DecoderSpec:
+    d = c["d_model"]
+    h = c["n_heads"]
+    attn = c.get("attn_config") or {}
+    if attn.get("softmax_scale") is not None:
+        raise ValueError("MPT custom softmax_scale is not supported")
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c["n_layers"],
+        num_heads=h,
+        num_kv_heads=h,
+        head_dim=d // h,
+        intermediate_size=c.get("expansion_ratio", 4) * d,
+        pos="alibi" if attn.get("alibi", True) else "learned",
+        alibi_impl="mpt",
+        max_position_embeddings=c.get("max_seq_len", 2048),
+        norm="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        activation="gelu",           # HF MptMLP: nn.GELU(approximate="none")
+        qkv_clip=attn.get("clip_qkv"),
+        qkv_bias=not c.get("no_bias", True),
+        attn_out_bias=not c.get("no_bias", True),
+        mlp_bias=False,              # HF MptMLP is always bias-free
+        tie_word_embeddings=True,
+    )
+
+
+def _phi_spec(c: dict) -> DecoderSpec:
+    if c.get("qk_layernorm"):
+        raise ValueError("phi qk_layernorm is not supported")
+    d = c["hidden_size"]
+    h = c["num_attention_heads"]
+    dh = d // h
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c["num_hidden_layers"],
+        num_heads=h,
+        num_kv_heads=c.get("num_key_value_heads") or h,
+        head_dim=dh,
+        intermediate_size=c["intermediate_size"],
+        pos="rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        rotary_pct=c.get("partial_rotary_factor", 0.5),
+        max_position_embeddings=c.get("max_position_embeddings", 2048),
+        norm="layernorm",
+        norm_eps=c.get("layer_norm_eps", 1e-5),
+        activation="gelu_tanh" if c.get("hidden_act", "gelu_new") in ("gelu_new", "gelu_fast", "gelu_pytorch_tanh") else "gelu",
+        parallel_residual=True,      # shared input_layernorm (duplicated at load)
+        qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=False,
+    )
+
+
+def _mistral_spec(c: dict) -> DecoderSpec:
+    s = _llama_spec(c)
+    return dataclasses.replace(
+        s,
+        sliding_window=c.get("sliding_window"),
+        norm_eps=c.get("rms_norm_eps", 1e-6),
+    )
+
+
+def _qwen2_spec(c: dict) -> DecoderSpec:
+    s = _llama_spec(c)
+    return dataclasses.replace(
+        s,
+        qkv_bias=True,               # Qwen2Attention: q/k/v have bias, o does not
+        sliding_window=(c.get("sliding_window")
+                        if c.get("use_sliding_window") else None),
+    )
+
+
+def _gemma_spec(c: dict) -> DecoderSpec:
+    d = c["hidden_size"]
+    heads = c["num_attention_heads"]
+    act = c.get("hidden_activation") or c.get("hidden_act") or "gelu_pytorch_tanh"
+    return DecoderSpec(
+        vocab_size=c["vocab_size"],
+        hidden_size=d,
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=c.get("num_key_value_heads") or heads,
+        head_dim=c.get("head_dim") or d // heads,
+        intermediate_size=c["intermediate_size"],
+        pos="rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        max_position_embeddings=c.get("max_position_embeddings", 8192),
+        norm="rmsnorm",
+        norm_eps=c.get("rms_norm_eps", 1e-6),
+        activation=("gelu_tanh_glu"
+                    if act in ("gelu_pytorch_tanh", "gelu_new", "gelu_fast")
+                    else "gelu_glu"),
+        embed_scale=d ** 0.5,
+        tie_word_embeddings=True,
+    )
+
+
 def _bigcode_spec(c: dict) -> DecoderSpec:
     d = c["n_embd"]
     h = c["n_head"]
@@ -234,19 +395,29 @@ def _stack_linear(w: Weights, fmt: str, n_layers: int, dtype):
                    for i in range(n_layers)], dtype)
 
 
-def _norm_stack(w: Weights, fmt: str, n_layers: int, dtype, bias: bool) -> dict:
-    p = {"scale": _stack([w.get(fmt.format(i=i) + ".weight") for i in range(n_layers)], dtype)}
+def _norm_stack(w: Weights, fmt: str, n_layers: int, dtype, bias: bool,
+                offset: float = 0.0) -> dict:
+    """`offset` is added to the stored weight (gemma rmsnorm computes
+    x * (1 + weight); folding the +1 at load keeps core._norm generic)."""
+    p = {"scale": _stack([w.get(fmt.format(i=i) + ".weight") + offset
+                          for i in range(n_layers)], dtype)}
     if bias:
         p["bias"] = _stack([w.get(fmt.format(i=i) + ".bias") for i in range(n_layers)], dtype)
     return p
 
 
-def _load_llama(w: Weights, s: DecoderSpec, dtype) -> dict:
+def _load_llama(w: Weights, s: DecoderSpec, dtype,
+                norm_offset: float = 0.0) -> dict:
+    """Llama tensor-name map; also loads mistral/qwen2 (identical names —
+    qwen2 adds q/k/v biases, keyed off spec.qkv_bias) and, with
+    norm_offset=1, gemma."""
     L = s.num_layers
     pre = "model.layers.{i}"
     layers = {
-        "ln1": _norm_stack(w, pre + ".input_layernorm", L, dtype, False),
-        "ln2": _norm_stack(w, pre + ".post_attention_layernorm", L, dtype, False),
+        "ln1": _norm_stack(w, pre + ".input_layernorm", L, dtype, False,
+                           offset=norm_offset),
+        "ln2": _norm_stack(w, pre + ".post_attention_layernorm", L, dtype,
+                           False, offset=norm_offset),
         "wq": _stack_linear(w, pre + ".self_attn.q_proj", L, dtype),
         "wk": _stack_linear(w, pre + ".self_attn.k_proj", L, dtype),
         "wv": _stack_linear(w, pre + ".self_attn.v_proj", L, dtype),
@@ -255,14 +426,230 @@ def _load_llama(w: Weights, s: DecoderSpec, dtype) -> dict:
         "w_up": _stack_linear(w, pre + ".mlp.up_proj", L, dtype),
         "w_down": _stack_linear(w, pre + ".mlp.down_proj", L, dtype),
     }
+    if s.qkv_bias:
+        for name, key in (("q_proj", "bq"), ("k_proj", "bk"), ("v_proj", "bv")):
+            layers[key] = _stack(
+                [w.get(f"model.layers.{i}.self_attn.{name}.bias")
+                 for i in range(L)], dtype)
     params = {
         "embed_tokens": jnp.asarray(w.get("model.embed_tokens.weight"), dtype),
         "layers": layers,
-        "final_norm": {"scale": jnp.asarray(w.get("model.norm.weight"), dtype)},
+        "final_norm": {"scale": jnp.asarray(
+            w.get("model.norm.weight") + norm_offset, dtype)},
     }
     if not s.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(w.get("lm_head.weight").T, dtype)
     return params
+
+
+def _load_gemma(w: Weights, s: DecoderSpec, dtype) -> dict:
+    return _load_llama(w, s, dtype, norm_offset=1.0)
+
+
+def _load_gptj(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L = s.num_layers
+    pre = "transformer.h.{i}"
+    ln1 = _norm_stack(w, pre + ".ln_1", L, dtype, True)
+    layers = {
+        "ln1": ln1,
+        # GPT-J's parallel block shares one layernorm between attn and mlp
+        "ln2": {k_: v_.copy() for k_, v_ in ln1.items()},
+        "wq": _stack_linear(w, pre + ".attn.q_proj", L, dtype),
+        "wk": _stack_linear(w, pre + ".attn.k_proj", L, dtype),
+        "wv": _stack_linear(w, pre + ".attn.v_proj", L, dtype),
+        "wo": _stack_linear(w, pre + ".attn.out_proj", L, dtype),
+        "w_up": _stack_linear(w, pre + ".mlp.fc_in", L, dtype),
+        "b_up": _stack([w.get(f"transformer.h.{i}.mlp.fc_in.bias")
+                        for i in range(L)], dtype),
+        "w_down": _stack_linear(w, pre + ".mlp.fc_out", L, dtype),
+        "b_down": _stack([w.get(f"transformer.h.{i}.mlp.fc_out.bias")
+                          for i in range(L)], dtype),
+    }
+    return {
+        "embed_tokens": jnp.asarray(w.get("transformer.wte.weight"), dtype),
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.asarray(w.get("transformer.ln_f.weight"), dtype),
+            "bias": jnp.asarray(w.get("transformer.ln_f.bias"), dtype),
+        },
+        "lm_head": jnp.asarray(w.get("lm_head.weight").T, dtype),
+        "lm_head_bias": jnp.asarray(w.get("lm_head.bias"), dtype),
+    }
+
+
+def _load_codegen(w: Weights, s: DecoderSpec, dtype) -> dict:
+    """CodeGen = GPT-J with a fused qkv_proj whose out axis is mp_num=4
+    blocks of [q_local | v_local | k_local] (HF CodeGenAttention mp_num
+    sharding; heads are block-major so concatenating blocks restores
+    natural head order)."""
+    L, D = s.num_layers, s.hidden_size
+    mp_num = 4
+    local = D // mp_num
+    qs, ks, vs = [], [], []
+    for i in range(L):
+        qkv = w.get(f"transformer.h.{i}.attn.qkv_proj.weight")  # [3D, D_in]
+        blocks = qkv.reshape(mp_num, 3 * local, -1)
+        qs.append(np.concatenate([blocks[m, :local] for m in range(mp_num)], 0).T)
+        vs.append(np.concatenate([blocks[m, local:2 * local] for m in range(mp_num)], 0).T)
+        ks.append(np.concatenate([blocks[m, 2 * local:] for m in range(mp_num)], 0).T)
+    pre = "transformer.h.{i}"
+    ln1 = _norm_stack(w, pre + ".ln_1", L, dtype, True)
+    layers = {
+        "ln1": ln1,
+        "ln2": {k_: v_.copy() for k_, v_ in ln1.items()},
+        "wq": _stack(qs, dtype), "wk": _stack(ks, dtype), "wv": _stack(vs, dtype),
+        "wo": _stack_linear(w, pre + ".attn.out_proj", L, dtype),
+        "w_up": _stack_linear(w, pre + ".mlp.fc_in", L, dtype),
+        "b_up": _stack([w.get(f"transformer.h.{i}.mlp.fc_in.bias")
+                        for i in range(L)], dtype),
+        "w_down": _stack_linear(w, pre + ".mlp.fc_out", L, dtype),
+        "b_down": _stack([w.get(f"transformer.h.{i}.mlp.fc_out.bias")
+                          for i in range(L)], dtype),
+    }
+    return {
+        "embed_tokens": jnp.asarray(w.get("transformer.wte.weight"), dtype),
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.asarray(w.get("transformer.ln_f.weight"), dtype),
+            "bias": jnp.asarray(w.get("transformer.ln_f.bias"), dtype),
+        },
+        "lm_head": jnp.asarray(w.get("lm_head.weight").T, dtype),
+        "lm_head_bias": jnp.asarray(w.get("lm_head.bias"), dtype),
+    }
+
+
+def _load_opt(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L = s.num_layers
+    pre = "model.decoder.layers.{i}"
+    layers = {
+        "ln1": _norm_stack(w, pre + ".self_attn_layer_norm", L, dtype, True),
+        "ln2": _norm_stack(w, pre + ".final_layer_norm", L, dtype, True),
+        "wq": _stack_linear(w, pre + ".self_attn.q_proj", L, dtype),
+        "wk": _stack_linear(w, pre + ".self_attn.k_proj", L, dtype),
+        "wv": _stack_linear(w, pre + ".self_attn.v_proj", L, dtype),
+        "wo": _stack_linear(w, pre + ".self_attn.out_proj", L, dtype),
+        "w_up": _stack_linear(w, pre + ".fc1", L, dtype),
+        "w_down": _stack_linear(w, pre + ".fc2", L, dtype),
+    }
+    if s.qkv_bias:
+        for name, key in (("q_proj", "bq"), ("k_proj", "bk"), ("v_proj", "bv")):
+            layers[key] = _stack(
+                [w.get(f"model.decoder.layers.{i}.self_attn.{name}.bias")
+                 for i in range(L)], dtype)
+    if s.attn_out_bias:
+        layers["bo"] = _stack(
+            [w.get(f"model.decoder.layers.{i}.self_attn.out_proj.bias")
+             for i in range(L)], dtype)
+    if s.mlp_bias:
+        layers["b_up"] = _stack(
+            [w.get(f"model.decoder.layers.{i}.fc1.bias") for i in range(L)], dtype)
+        layers["b_down"] = _stack(
+            [w.get(f"model.decoder.layers.{i}.fc2.bias") for i in range(L)], dtype)
+    params = {
+        "embed_tokens": jnp.asarray(
+            w.get("model.decoder.embed_tokens.weight"), dtype),
+        "embed_positions": jnp.asarray(
+            w.get("model.decoder.embed_positions.weight"), dtype),
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.asarray(
+                w.get("model.decoder.final_layer_norm.weight"), dtype),
+            "bias": jnp.asarray(
+                w.get("model.decoder.final_layer_norm.bias"), dtype),
+        },
+    }
+    if w.has("model.decoder.project_in.weight"):
+        params["project_in"] = jnp.asarray(
+            w.get("model.decoder.project_in.weight").T, dtype)
+        params["project_out"] = jnp.asarray(
+            w.get("model.decoder.project_out.weight").T, dtype)
+    if not s.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(w.get("lm_head.weight").T, dtype)
+    return params
+
+
+def _load_mpt(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L, D = s.num_layers, s.hidden_size
+    pre = "transformer.blocks.{i}"
+    has_ln_bias = w.has("transformer.blocks.0.norm_1.bias")
+    qs, ks, vs = [], [], []
+    bqs, bks, bvs = [], [], []
+    for i in range(L):
+        qkv = w.get(f"transformer.blocks.{i}.attn.Wqkv.weight")  # [3D, D]
+        qs.append(qkv[:D].T); ks.append(qkv[D:2 * D].T); vs.append(qkv[2 * D:].T)
+        if s.qkv_bias:
+            b = w.get(f"transformer.blocks.{i}.attn.Wqkv.bias")
+            bqs.append(b[:D]); bks.append(b[D:2 * D]); bvs.append(b[2 * D:])
+    layers = {
+        "ln1": _norm_stack(w, pre + ".norm_1", L, dtype, has_ln_bias),
+        "ln2": _norm_stack(w, pre + ".norm_2", L, dtype, has_ln_bias),
+        "wq": _stack(qs, dtype), "wk": _stack(ks, dtype), "wv": _stack(vs, dtype),
+        "wo": _stack_linear(w, pre + ".attn.out_proj", L, dtype),
+        "w_up": _stack_linear(w, pre + ".ffn.up_proj", L, dtype),
+        "w_down": _stack_linear(w, pre + ".ffn.down_proj", L, dtype),
+    }
+    if s.qkv_bias:
+        layers["bq"] = _stack(bqs, dtype)
+        layers["bk"] = _stack(bks, dtype)
+        layers["bv"] = _stack(bvs, dtype)
+    if s.attn_out_bias:
+        layers["bo"] = _stack(
+            [w.get(f"transformer.blocks.{i}.attn.out_proj.bias")
+             for i in range(L)], dtype)
+    if s.mlp_bias:
+        layers["b_up"] = _stack(
+            [w.get(f"transformer.blocks.{i}.ffn.up_proj.bias")
+             for i in range(L)], dtype)
+        layers["b_down"] = _stack(
+            [w.get(f"transformer.blocks.{i}.ffn.down_proj.bias")
+             for i in range(L)], dtype)
+    final_norm = {"scale": jnp.asarray(w.get("transformer.norm_f.weight"), dtype)}
+    if w.has("transformer.norm_f.bias"):
+        final_norm["bias"] = jnp.asarray(w.get("transformer.norm_f.bias"), dtype)
+    return {
+        "embed_tokens": jnp.asarray(w.get("transformer.wte.weight"), dtype),
+        "layers": layers,
+        "final_norm": final_norm,
+    }
+
+
+def _load_phi(w: Weights, s: DecoderSpec, dtype) -> dict:
+    L = s.num_layers
+    pre = "model.layers.{i}"
+    ln1 = _norm_stack(w, pre + ".input_layernorm", L, dtype, True)
+    layers = {
+        "ln1": ln1,
+        # phi's parallel block shares input_layernorm between attn and mlp
+        "ln2": {k_: v_.copy() for k_, v_ in ln1.items()},
+        "wq": _stack_linear(w, pre + ".self_attn.q_proj", L, dtype),
+        "wk": _stack_linear(w, pre + ".self_attn.k_proj", L, dtype),
+        "wv": _stack_linear(w, pre + ".self_attn.v_proj", L, dtype),
+        "wo": _stack_linear(w, pre + ".self_attn.dense", L, dtype),
+        "bq": _stack([w.get(f"model.layers.{i}.self_attn.q_proj.bias")
+                      for i in range(L)], dtype),
+        "bk": _stack([w.get(f"model.layers.{i}.self_attn.k_proj.bias")
+                      for i in range(L)], dtype),
+        "bv": _stack([w.get(f"model.layers.{i}.self_attn.v_proj.bias")
+                      for i in range(L)], dtype),
+        "bo": _stack([w.get(f"model.layers.{i}.self_attn.dense.bias")
+                      for i in range(L)], dtype),
+        "w_up": _stack_linear(w, pre + ".mlp.fc1", L, dtype),
+        "b_up": _stack([w.get(f"model.layers.{i}.mlp.fc1.bias")
+                        for i in range(L)], dtype),
+        "w_down": _stack_linear(w, pre + ".mlp.fc2", L, dtype),
+        "b_down": _stack([w.get(f"model.layers.{i}.mlp.fc2.bias")
+                          for i in range(L)], dtype),
+    }
+    return {
+        "embed_tokens": jnp.asarray(w.get("model.embed_tokens.weight"), dtype),
+        "layers": layers,
+        "final_norm": {
+            "scale": jnp.asarray(w.get("model.final_layernorm.weight"), dtype),
+            "bias": jnp.asarray(w.get("model.final_layernorm.bias"), dtype),
+        },
+        "lm_head": jnp.asarray(w.get("lm_head.weight").T, dtype),
+        "lm_head_bias": jnp.asarray(w.get("lm_head.bias"), dtype),
+    }
 
 
 def _split_fused_headmajor(qkv: np.ndarray, h: int, dh: int) -> tuple[np.ndarray, ...]:
@@ -486,6 +873,14 @@ FAMILIES: dict[str, tuple[Callable[[dict], DecoderSpec], Callable]] = {
     "RefinedWeb": (_falcon_spec, _load_falcon),
     "RefinedWebModel": (_falcon_spec, _load_falcon),
     "gpt_bigcode": (_bigcode_spec, _load_bigcode),
+    "gptj": (_gptj_spec, _load_gptj),
+    "codegen": (_codegen_spec, _load_codegen),
+    "opt": (_opt_spec, _load_opt),
+    "mpt": (_mpt_spec, _load_mpt),
+    "phi": (_phi_spec, _load_phi),
+    "mistral": (_mistral_spec, _load_llama),
+    "qwen2": (_qwen2_spec, _load_llama),
+    "gemma": (_gemma_spec, _load_gemma),
 }
 
 

@@ -117,7 +117,7 @@ def decode_paged(
     if spec.pos == "alibi":
         from .core import alibi_slopes
 
-        slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads)).reshape(
+        slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads, spec.alibi_impl)).reshape(
             spec.num_kv_heads, group)
     else:
         slopes_kg = None
@@ -234,7 +234,7 @@ def decode_paged_ring_step(
     if spec.pos == "alibi":
         from .core import alibi_slopes
 
-        slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads)).reshape(
+        slopes_kg = jnp.asarray(alibi_slopes(spec.num_heads, spec.alibi_impl)).reshape(
             spec.num_kv_heads, group)
         buf_pos = (chunk_start[:, None]
                    + jnp.arange(n_buf, dtype=jnp.int32)[None, :])  # [S, C]
@@ -418,7 +418,7 @@ def prefill_paged(
     if spec.pos == "alibi":
         from .core import alibi_slopes
 
-        slopes = jnp.asarray(alibi_slopes(spec.num_heads))
+        slopes = jnp.asarray(alibi_slopes(spec.num_heads, spec.alibi_impl))
         alibi = slopes[:, None] * jnp.arange(t, dtype=jnp.float32)[None, :]
         bias = alibi[None, :, None, :]
     else:
