@@ -347,6 +347,71 @@ class TestStreaming:
         run_async(go())
 
 
+class FakeChunkEngine(FakeEngine):
+    """FakeEngine with chunked decode that records the chunk length of
+    every decode dispatch (stream-aware chunking assertions)."""
+
+    supports_chunk_override = True
+    decode_chunk = 6
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.chunk_calls = []
+
+    def decode_steps(self, want_details=True, chunk=None):
+        eff = chunk if chunk is not None else self.decode_chunk
+        self.chunk_calls.append(chunk)
+        return [self.decode() for _ in range(eff)]
+
+
+class TestStreamAwareChunking:
+    def test_streaming_request_shrinks_chunk(self):
+        """With a streaming request active, decode dispatches use
+        stream_decode_chunk; all-unary batches use the default chunk
+        (None). A streaming client then sees bursts bounded by the small
+        chunk instead of decode_chunk (reference streams per token,
+        batcher.rs:972-991)."""
+        async def go():
+            eng = FakeChunkEngine()
+            b, _ = make_batcher(engine=eng, stream_decode_chunk=2)
+            b.start()
+            sreq = make_request([11], max_new=9, streaming=True)
+            b.submit(sreq)
+            while sreq.stream_queue is None:
+                await asyncio.sleep(0.005)
+            while True:
+                ev = await asyncio.wait_for(sreq.stream_queue.get(), timeout=5)
+                if ev[0] == "final":
+                    break
+            streaming_chunks = list(eng.chunk_calls)
+            assert streaming_chunks and all(c == 2 for c in streaming_chunks)
+
+            eng.chunk_calls.clear()
+            ureq = make_request([12], max_new=9)
+            b.submit(ureq)
+            await asyncio.wait_for(asyncio.shield(ureq.result_future), 5)
+            assert eng.chunk_calls and all(c is None for c in eng.chunk_calls)
+            await b.stop()
+        run_async(go())
+
+    def test_disabled_by_config(self):
+        async def go():
+            eng = FakeChunkEngine()
+            b, _ = make_batcher(engine=eng, stream_decode_chunk=0)
+            b.start()
+            req = make_request([11], max_new=5, streaming=True)
+            b.submit(req)
+            while req.stream_queue is None:
+                await asyncio.sleep(0.005)
+            while True:
+                ev = await asyncio.wait_for(req.stream_queue.get(), timeout=5)
+                if ev[0] == "final":
+                    break
+            assert eng.chunk_calls and all(c is None for c in eng.chunk_calls)
+            await b.stop()
+        run_async(go())
+
+
 class TestSubmitAtomicity:
     def test_batch_over_capacity_leaves_no_orphans(self):
         """A capacity-rejected batch must not leave earlier requests of the

@@ -88,6 +88,11 @@ class ServingConfig:
                                               # dispatch; >1 amortizes host
                                               # sync (tokens arrive in bursts
                                               # of this size when streaming)
+    stream_decode_chunk: int = 8              # chunk used while any active
+                                              # request is streaming (keeps
+                                              # inter-token latency ~chunk
+                                              # steps instead of decode_chunk;
+                                              # 0 disables the adaptation)
     fuse_matmuls: bool = True                 # fuse qkv / gate-up projections
                                               # (single-device model axis only)
     decode_write_mode: str = "ring"           # "ring" | "post" | "scan" KV
@@ -165,6 +170,7 @@ class ServingConfig:
             max_batch_slots=_env_int("MAX_BATCH_SLOTS", 16),
             max_prefill_batch=_env_int("MAX_PREFILL_BATCH", 8),
             decode_chunk=_env_int("DECODE_CHUNK", 1),
+            stream_decode_chunk=_env_int("STREAM_DECODE_CHUNK", 8),
             fuse_matmuls=_env_bool("FUSE_MATMULS", True),
             decode_write_mode=_env_str("DECODE_WRITE_MODE", "ring"),
             prefill_buckets=_env_int_list("PREFILL_BUCKETS", _DEFAULT_PREFILL_BUCKETS),

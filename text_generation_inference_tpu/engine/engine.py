@@ -296,6 +296,9 @@ class InferenceEngine:
     # decode_steps_begin/decode_steps_end may be pipelined two-deep by the
     # caller (dispatch chunk N+1 before fetching chunk N's outputs)
     supports_decode_pipeline = True
+    # decode_steps/decode_steps_begin accept a per-call `chunk` override
+    # (stream-aware chunking)
+    supports_chunk_override = True
 
     def __init__(
         self,
@@ -567,7 +570,9 @@ class InferenceEngine:
             for rows in self._ctx_bucket_grid():
                 self._warmup_rows = rows
                 for want_details in (False, True):
-                    self.decode_steps(want_details=want_details)
+                    for chunk in self._chunk_grid():
+                        self.decode_steps(want_details=want_details,
+                                          chunk=chunk)
         finally:
             self._warmup_rows = None
         # reset slot state polluted by the dummy prefills
@@ -604,12 +609,14 @@ class InferenceEngine:
                 return b
         return self.max_seq
 
-    def _get_decode_fn(self, want_details: bool, cache_rows: int):
-        key = (want_details, cache_rows)
+    def _get_decode_fn(self, want_details: bool, cache_rows: int,
+                       chunk: Optional[int] = None):
+        chunk = self.decode_chunk if chunk is None else chunk
+        key = (want_details, cache_rows, chunk)
         fn = self._decode_fns.get(key)
         if fn is None:
             write_mode = self._write_mode
-            if self.decode_chunk == 1:
+            if chunk == 1:
                 # ring is a chunk scheme; single-step decode uses post writes
                 fn = jax.jit(
                     partial(_decode_step, self.spec, self.eos_token_id,
@@ -620,13 +627,13 @@ class InferenceEngine:
             elif write_mode == "ring":
                 fn = jax.jit(
                     partial(_decode_ring_multi, self.spec, self.eos_token_id,
-                            self.decode_chunk, want_details=want_details,
+                            chunk, want_details=want_details,
                             cache_rows=cache_rows),
                     donate_argnums=(1, 2))
             else:
                 fn = jax.jit(
                     partial(_decode_multi, self.spec, self.eos_token_id,
-                            self.decode_chunk, write_mode=write_mode,
+                            chunk, write_mode=write_mode,
                             want_details=want_details),
                     donate_argnums=(1, 2))
             # AOT-compile and cache the executable: a bare jit fn re-traces
@@ -639,20 +646,33 @@ class InferenceEngine:
             self._decode_fns[key] = fn
         return fn
 
+    def _chunk_grid(self) -> tuple[int, ...]:
+        """Distinct decode chunk lengths the serving loop may request: the
+        throughput chunk plus, when configured and different, the small
+        streaming chunk (stream_decode_chunk caps per-token latency for
+        streaming clients; see Batcher._decode_begin)."""
+        chunks = {self.decode_chunk}
+        sc = getattr(self.config, "stream_decode_chunk", 0)
+        if sc and 1 <= sc < self.decode_chunk:
+            chunks.add(sc)
+        return tuple(sorted(chunks))
+
     def precompile_decode(self, details=(False, True)) -> int:
-        """AOT-compile every decode program (context bucket x details
-        variant) without running a step or touching engine state. Returns
-        the number of programs materialized. Counterpart of the
+        """AOT-compile every decode program (context bucket x details x
+        chunk variant) without running a step or touching engine state.
+        Returns the number of programs materialized. Counterpart of the
         reference's decode-shape warmup (reference:
         server/.../utils/warmup.py:68-152), but ahead-of-time."""
         n = 0
         for rows in self._ctx_bucket_grid():
             for want_details in details:
-                self._get_decode_fn(want_details, rows)
-                n += 1
+                for chunk in self._chunk_grid():
+                    self._get_decode_fn(want_details, rows, chunk)
+                    n += 1
         return n
 
-    def decode_steps_begin(self, want_details: bool = True):
+    def decode_steps_begin(self, want_details: bool = True,
+                           chunk: Optional[int] = None):
         """Dispatch one decode chunk WITHOUT fetching its outputs.
 
         JAX dispatch is asynchronous: the jitted call enqueues the chunk and
@@ -663,21 +683,29 @@ class InferenceEngine:
         the dispatch gap between chunks. Returns an opaque handle for
         decode_steps_end. At most engine-state safety: self.cache/self.state
         are reassigned to the (as-yet-unmaterialized) outputs here, so any
-        subsequent engine call correctly chains on this chunk."""
+        subsequent engine call correctly chains on this chunk.
+
+        `chunk` overrides the number of steps for THIS dispatch (a distinct
+        compiled program per length — warmup covers the grid via
+        _chunk_grid); the batcher passes the small streaming chunk when a
+        streaming client is active, so inter-token latency tracks the small
+        chunk instead of the throughput chunk (the reference streams
+        per-token: router/src/batcher.rs:972-991)."""
+        chunk = self.decode_chunk if chunk is None else max(1, chunk)
         self.last_n_emitted = None   # every step row is valid for every slot
         self._apply_pending_frees()
         cache_rows = self._pick_cache_rows()
         t0 = time.monotonic_ns()
         try:
             self.cache, self.state, packed = self._get_decode_fn(
-                want_details, cache_rows)(
+                want_details, cache_rows, chunk)(
                 self.model_params, self.cache, self.state)
         except Exception as e:
             raise EngineDeviceError(f"decode dispatch failed: {e}") from e
         np.minimum(np.where(self._slot_ctx > 0,
-                            self._slot_ctx + self.decode_chunk, 0),
+                            self._slot_ctx + chunk, 0),
                    self.max_seq, out=self._slot_ctx)
-        return (packed, self.decode_chunk, t0)
+        return (packed, chunk, t0)
 
     def decode_steps_end(self, handle) -> list[StepResult]:
         """Fetch the outputs of a chunk dispatched by decode_steps_begin.
@@ -696,6 +724,8 @@ class InferenceEngine:
         self.last_forward_ns = time.monotonic_ns() - t0
         return results
 
-    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
+    def decode_steps(self, want_details: bool = True,
+                     chunk: Optional[int] = None) -> list[StepResult]:
         """`decode_chunk` decode steps in one dispatch + one host fetch."""
-        return self.decode_steps_end(self.decode_steps_begin(want_details))
+        return self.decode_steps_end(
+            self.decode_steps_begin(want_details, chunk=chunk))

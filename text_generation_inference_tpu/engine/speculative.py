@@ -260,6 +260,9 @@ class SpeculativeEngine(InferenceEngine):
     # inherited two-phase begin/end pipeline here — it would bypass this
     # override and run plain (non-speculative) chunks
     supports_decode_pipeline = False
+    # decode_steps has no per-call chunk: a speculative step already emits
+    # small bursts (1..n_predict+1 tokens), so streaming latency is fine
+    supports_chunk_override = False
 
     def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         del want_details  # always computed on this engine (for now)
@@ -408,6 +411,9 @@ class PagedSpeculativeEngine(PagedEngineBase):
     # dispatch/fetch stay coupled on the speculative path (see
     # SpeculativeEngine); the batcher uses the synchronous decode_steps
     supports_decode_pipeline = False
+    # decode_steps has no per-call chunk: a speculative step already emits
+    # small bursts (1..n_predict+1 tokens), so streaming latency is fine
+    supports_chunk_override = False
 
     def decode_steps(self, want_details: bool = True) -> list[StepResult]:
         if not self._should_speculate():

@@ -376,13 +376,32 @@ class Batcher:
                         time.monotonic() - t_proc, method="prefill")
         self._update_batch_gauges()
 
+    def _chunk_override(self) -> Optional[int]:
+        """Small decode chunk while any active request streams: a streaming
+        client's inter-token latency equals the chunk latency (tokens only
+        reach the host at chunk end), so the throughput chunk (64) would
+        deliver ~64-token bursts. The reference streams per token
+        (router/src/batcher.rs:972-991); a small chunk bounds the burst at
+        stream_decode_chunk steps while all-unary batches keep the
+        throughput chunk. None = engine default."""
+        sc = self.config.stream_decode_chunk
+        if not sc or not getattr(self.engine, "supports_chunk_override", False):
+            return None
+        if any(r.streaming for r in self.active.values()):
+            return sc
+        return None
+
     def _decode_begin(self):
         """Dispatch one decode chunk on the loop thread (non-blocking JAX
         enqueue); the matching _decode_end fetch runs on the executor.
         Engines advertising supports_decode_pipeline only."""
         want = any(r.options.generated_tokens
                    for r in self.active.values())
+        chunk = self._chunk_override()
         t0 = time.monotonic()
+        if chunk is not None:
+            return self.engine.decode_steps_begin(
+                want_details=want, chunk=chunk), t0
         return self.engine.decode_steps_begin(want_details=want), t0
 
     def _decode_end(self, begun):
@@ -410,8 +429,12 @@ class Batcher:
             # details only on request)
             want = any(r.options.generated_tokens
                        for r in self.active.values())
+            chunk = self._chunk_override()
             try:
-                steps = decode_fn(want_details=want)
+                if chunk is not None:
+                    steps = decode_fn(want_details=want, chunk=chunk)
+                else:
+                    steps = decode_fn(want_details=want)
             except TypeError:
                 steps = decode_fn()
         else:
