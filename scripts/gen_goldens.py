@@ -231,13 +231,15 @@ def gen_decoder_cases(model_dir, family):
 
 
 def gen_t5_cases(model_dir):
-    from transformers import T5ForConditionalGeneration
+    # AutoModel resolves model_type (t5 AND mt5/mt0; reference
+    # integration-tests mt0-small: integration_tests/test_server.py:48-64)
+    from transformers import AutoModelForSeq2SeqLM
 
     tok = _tok(model_dir)
     cfg = json.loads((Path(model_dir) / "config.json").read_text())
     eos = cfg.get("eos_token_id")
     start = cfg.get("decoder_start_token_id")
-    model = T5ForConditionalGeneration.from_pretrained(
+    model = AutoModelForSeq2SeqLM.from_pretrained(
         model_dir, torch_dtype=torch.float32).eval()
     specials = _special_ids(tok)
 
@@ -298,12 +300,14 @@ def gen_family(family: str) -> list:
         return gen_decoder_cases(fixtures.golden_llama_dir(), "llama")
     if family == "t5":
         return gen_t5_cases(fixtures.golden_t5_dir())
+    if family == "mt0":
+        return gen_t5_cases(fixtures.golden_mt0_dir())
     raise ValueError(family)
 
 
 def main():
     OUT_DIR.mkdir(parents=True, exist_ok=True)
-    for fam in ("gpt2", "llama", "t5"):
+    for fam in ("gpt2", "llama", "t5", "mt0"):
         cases = gen_family(fam)
         out = OUT_DIR / f"test_cases_{fam}.yaml"
         out.write_text(yaml.safe_dump(cases, allow_unicode=True,

@@ -498,3 +498,35 @@ def tiny_llama_rope_scaled() -> str:
         tie_word_embeddings=False,
     )
     return _save(LlamaForCausalLM(cfg).eval(), "tiny_llama_rope_scaled")
+
+
+@functools.lru_cache(maxsize=None)
+def golden_mt0_dir() -> str:
+    """Tiny mt5/mt0-style checkpoint (model_type "mt5": gated-GELU, untied
+    lm_head — the reference integration-tests mt0-small, reference:
+    integration_tests/test_server.py:48-64) + REAL Metaspace tokenizer.json
+    (golden family 4)."""
+    import shutil
+
+    from tokenizers import Tokenizer
+    from transformers import MT5Config, MT5ForConditionalGeneration
+
+    tok_file = metaspace_tokenizer_file()
+    tok = Tokenizer.from_file(tok_file)
+    vocab = tok.get_vocab_size()
+    eos = _eos_of(tok_file)
+    pad = tok.token_to_id("<unk>") or 0
+    out = FIXTURE_ROOT / "golden_mt0"
+    if not (out / "config.json").exists():
+        torch.manual_seed(24)
+        cfg = MT5Config(
+            vocab_size=vocab, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+            num_decoder_layers=2, num_heads=4,
+            relative_attention_num_buckets=8,
+            relative_attention_max_distance=32,
+            tie_word_embeddings=False,
+            dropout_rate=0.0, decoder_start_token_id=pad,
+            eos_token_id=eos, pad_token_id=pad)
+        _save(MT5ForConditionalGeneration(cfg).eval(), "golden_mt0")
+        shutil.copy(tok_file, out / "tokenizer.json")
+    return str(out)

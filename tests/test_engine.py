@@ -365,9 +365,12 @@ class TestCtxBuckets:
         engine = self._build(model_dir, [8, 16, 32, 64])
         before = np.asarray(engine.state.history_len)
         n = engine.precompile_decode()
-        assert n == 2 * len(engine._ctx_bucket_grid())
+        assert n == (2 * len(engine._ctx_bucket_grid())
+                     * len(engine._chunk_grid()))
         assert set(engine._decode_fns) == {
-            (d, b) for d in (False, True) for b in engine._ctx_bucket_grid()}
+            (d, b, c) for d in (False, True)
+            for b in engine._ctx_bucket_grid()
+            for c in engine._chunk_grid()}
         assert (np.asarray(engine.state.history_len) == before).all()
         # compiled programs must still produce the reference stream
         assert self._run(engine) == self._run(

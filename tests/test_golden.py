@@ -41,6 +41,9 @@ FAMILIES = {
     "gpt2": fixtures.golden_gpt2_dir,
     "llama": fixtures.golden_llama_dir,
     "t5": fixtures.golden_t5_dir,
+    # mt5/mt0-style (gated-GELU, untied head) — the reference
+    # integration-tests mt0-small (integration_tests/test_cases_mt0small.yaml)
+    "mt0": fixtures.golden_mt0_dir,
 }
 
 
@@ -125,7 +128,7 @@ class GoldenServer:
             max_waiting_tokens=4, default_max_new_tokens=20,
         )
         self.config.validate()
-        if self.family == "t5":
+        if self.family in ("t5", "mt0"):
             import json
 
             from text_generation_inference_tpu.engine.seq2seq import (

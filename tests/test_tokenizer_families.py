@@ -208,3 +208,76 @@ class TestGraphemeSafety:
             prev = vis
         st.feed(dec.flush())
         assert st.visible_text(None, final=True) == tok.decode(ids)
+
+
+class TestCTCDedup:
+    """CTC-family streaming (reference: router/src/decoder.rs:339-372
+    IncrementalDeDupDecoder): consecutive duplicate ids collapse, the pad
+    (blank) token is removed, the word delimiter maps to a space — and the
+    stream must equal the tokenizer's own one-shot CTC decode."""
+
+    @staticmethod
+    @functools.lru_cache(maxsize=1)
+    def _ctc_tokenizer_file() -> str:
+        from tokenizers import Tokenizer, decoders, models
+
+        vocab = {"<pad>": 0, "|": 1}
+        for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz'"):
+            vocab[ch] = i + 2
+        tok = Tokenizer(models.WordLevel(vocab, unk_token="<pad>"))
+        tok.decoder = decoders.CTC(pad_token="<pad>",
+                                   word_delimiter_token="|", cleanup=True)
+        path = str(FIXTURE_ROOT / "tokenizer_ctc.json")
+        FIXTURE_ROOT.mkdir(parents=True, exist_ok=True)
+        tok.save(path)
+        return path
+
+    def _load(self):
+        import pathlib
+        import shutil
+        import tempfile
+
+        d = pathlib.Path(tempfile.mkdtemp())
+        shutil.copy(self._ctc_tokenizer_file(), d / "tokenizer.json")
+        return ServingTokenizer.load(str(d))
+
+    def test_decoder_type_detected_and_routed(self):
+        from text_generation_inference_tpu.utils.detokenizer import (
+            CTCIncrementalDecoder, make_incremental_decoder)
+
+        tok = self._load()
+        assert tok.decoder_type == "CTC"
+        assert isinstance(make_incremental_decoder(tok),
+                          CTCIncrementalDecoder)
+
+    def test_stream_equals_full_ctc_decode(self):
+        from text_generation_inference_tpu.utils.detokenizer import (
+            make_incremental_decoder)
+
+        tok = self._load()
+        # raw CTC emission for "hi cat": duplicates + blanks interleaved
+        def ids_of(s):
+            return [tok.encode(c)[0] if c != " " else 1 for c in s]
+
+        raw = []
+        for tid in ids_of("hi|cat"):
+            raw.extend([tid, tid, 0])     # dup each emission, then blank
+        dec = make_incremental_decoder(tok)
+        parts = [dec.push(i) for i in raw]
+        parts.append(dec.flush())
+        assert "".join(parts) == tok.decode(raw)
+        assert "".join(parts) == "hi cat"
+
+    def test_duplicate_across_window_sizes(self):
+        """Long runs of duplicates (the window-boundary case that breaks
+        the sliding-window algorithm) still emit each symbol once."""
+        from text_generation_inference_tpu.utils.detokenizer import (
+            make_incremental_decoder)
+
+        tok = self._load()
+        a = tok.encode("a")[0]
+        b = tok.encode("b")[0]
+        raw = [a] * 40 + [0] + [a] * 3 + [b] * 25
+        dec = make_incremental_decoder(tok)
+        out = "".join([dec.push(i) for i in raw] + [dec.flush()])
+        assert out == tok.decode(raw) == "aab"

@@ -15,7 +15,8 @@ from typing import Optional
 import numpy as np
 
 from ..engine.engine import RequestParams
-from ..utils.detokenizer import IncrementalDecoder, StopSequenceState
+from ..utils.detokenizer import (IncrementalDecoder, StopSequenceState,
+                                 make_incremental_decoder)
 
 
 class StopReason(enum.IntEnum):
@@ -140,7 +141,7 @@ class GenRequest:
         """Called when the request is admitted (prefill). The time-limit
         deadline is already armed (at arrival, in __init__)."""
         self.start_time = time.monotonic()
-        self.decoder = IncrementalDecoder(tokenizer)
+        self.decoder = make_incremental_decoder(tokenizer)
         self.stop_state = self._make_stop_state()
 
     def _make_stop_state(self):

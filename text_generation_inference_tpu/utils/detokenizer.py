@@ -58,6 +58,45 @@ class IncrementalDecoder:
         return delta
 
 
+class CTCIncrementalDecoder(IncrementalDecoder):
+    """CTC-family incremental decoder (speech models, e.g. wav2vec2).
+
+    The sliding-window subtraction algorithm is WRONG for CTC: the
+    tokenizer's CTC decode collapses consecutive duplicate ids, and that
+    dedup state crosses window boundaries (ids [A | A] split across windows
+    would emit A's text twice). The reference handles CTC with a dedicated
+    dedup decoder (reference: router/src/decoder.rs:339-372,
+    IncrementalDeDupDecoder): a token equal to the immediately-preceding
+    token emits nothing; otherwise the single token is decoded on its own
+    and appended (blank/pad removal and word-delimiter mapping happen
+    inside the tokenizer's CTC decoder).
+    """
+
+    def __init__(self, tokenizer, skip_special_tokens: bool = True):
+        super().__init__(tokenizer, skip_special_tokens)
+        self._last_id: Optional[int] = None
+
+    def push(self, token_id: int) -> str:
+        self.ids.append(token_id)
+        if token_id == self._last_id:
+            return ""
+        self._last_id = token_id
+        return self._decode([token_id])
+
+    def flush(self) -> str:
+        return ""
+
+
+def make_incremental_decoder(tokenizer, skip_special_tokens: bool = True):
+    """Pick the incremental decoder for a tokenizer: the CTC dedup decoder
+    when the tokenizer.json declares a CTC decoder (reference:
+    router/src/decoder.rs:117-158 routes on the decoder kind), else the
+    family-agnostic sliding-window decoder."""
+    if getattr(tokenizer, "decoder_type", None) == "CTC":
+        return CTCIncrementalDecoder(tokenizer, skip_special_tokens)
+    return IncrementalDecoder(tokenizer, skip_special_tokens)
+
+
 class StopStateBase:
     """Shared output-assembly over an accumulated UTF-8 BYTE buffer.
 

@@ -21,17 +21,29 @@ class ServingTokenizer:
     """Uniform facade over a `tokenizers.Tokenizer` (tokenizer.json)."""
 
     def __init__(self, tok: Tokenizer, eos_token_id: Optional[int],
-                 special_ids: Optional[set[int]] = None):
+                 special_ids: Optional[set[int]] = None,
+                 decoder_type: Optional[str] = None):
         self._tok = tok
         tok.no_truncation()
         tok.no_padding()
         self.eos_token_id = eos_token_id
         self._special_ids = special_ids or set()
+        # decoder family from tokenizer.json (e.g. "ByteLevel", "CTC") —
+        # the detokenizer routes CTC to a dedup decoder (reference:
+        # router/src/decoder.rs:117-158 matches on the decoder kind)
+        self.decoder_type = decoder_type
 
     @classmethod
     def load(cls, model_dir: str) -> "ServingTokenizer":
         d = Path(model_dir)
         tok = Tokenizer.from_file(str(d / "tokenizer.json"))
+        decoder_type = None
+        try:
+            dec = json.loads((d / "tokenizer.json").read_text()).get("decoder")
+            if isinstance(dec, dict):
+                decoder_type = dec.get("type")
+        except Exception:
+            pass
         eos_id = None
         cfg_path = d / "config.json"
         if cfg_path.exists():
@@ -57,7 +69,7 @@ class ServingTokenizer:
                     tid = tok.token_to_id(content) if content else None
                     if tid is not None:
                         special.add(tid)
-        return cls(tok, eos_id, special)
+        return cls(tok, eos_id, special, decoder_type=decoder_type)
 
     def encode(self, text: str, add_special_tokens: bool = False) -> list[int]:
         return self._tok.encode(text, add_special_tokens=add_special_tokens).ids
