@@ -57,7 +57,10 @@ def main() -> None:
                   for _ in range(args.rows)]
 
     report = {"model": args.model_dir,
-              "ppl_fp": quality.perplexity(spec, params, corpus)}
+              "ppl_fp": quality.perplexity(spec, params, corpus),
+              # decode-path int8 KV-cache fidelity (KV_CACHE_DTYPE=int8)
+              "int8_kv": {"decode_kl": quality.kv_cache_kl(
+                  spec, params, corpus)}}
     q8 = quantize_layer_params(params)
     report["int8"] = {
         "ppl": quality.perplexity(spec, q8, corpus),

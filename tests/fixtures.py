@@ -530,3 +530,20 @@ def golden_mt0_dir() -> str:
         _save(MT5ForConditionalGeneration(cfg).eval(), "golden_mt0")
         shutil.copy(tok_file, out / "tokenizer.json")
     return str(out)
+
+
+@functools.lru_cache(maxsize=None)
+def medium_llama() -> str:
+    """The LARGEST fixture checkpoint (~26M params: hidden 512, 8 layers,
+    vocab 4096) — quantization-quality measurements need enough width for
+    group-128 INT4 statistics to be meaningful; the tiny fixtures' 64-wide
+    linears hold half a quantization group."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(31)
+    cfg = LlamaConfig(
+        vocab_size=4096, hidden_size=512, intermediate_size=1408,
+        num_hidden_layers=8, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=1024, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, eos_token_id=2, bos_token_id=1)
+    return _save(LlamaForCausalLM(cfg).eval(), "medium_llama")

@@ -76,3 +76,13 @@ class TestQuantQuality:
             spec, quantize_layer_params(params), corpus)
         assert abs(ppl_q8 - ppl_fp) / ppl_fp < 0.01
         assert abs(ppl_q4 - ppl_fp) / ppl_fp < 0.10
+
+    def test_int8_kv_decode_kl_near_lossless(self, setup):
+        """KV_CACHE_DTYPE=int8 fidelity on the production ring-decode read
+        path (per-token-per-head symmetric quant): teacher-forced decode
+        distributions must be near-identical to the fp cache — far tighter
+        than even INT8 weight quantization."""
+        spec, params, corpus = setup
+        kl = quality.kv_cache_kl(spec, params, corpus, split=0.5)
+        assert np.isfinite(kl)
+        assert kl < 1e-3

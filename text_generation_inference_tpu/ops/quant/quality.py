@@ -83,6 +83,66 @@ def mean_token_kl(spec: DecoderSpec, params_fp: dict, params_q: dict,
     return float(jnp.sum(jnp.where(mask, kl, 0.0)) / jnp.sum(mask))
 
 
+def kv_cache_kl(spec: DecoderSpec, params: dict,
+                corpus: list[list[int]], split: float = 0.75) -> float:
+    """Decode-path fidelity of the int8 KV cache: mean KL(fp-cache ||
+    int8-cache) over teacher-forced decode logits.
+
+    Each corpus row's first `split` fraction is prefilled (an int8 cache
+    quantizes those K/V at write), then the remaining tokens are decoded
+    teacher-forced through the ring-decode step — the production int8 read
+    path (scale folded into the score/value einsums) — against the same run
+    over an fp32 cache. Measures exactly what serving with KV_CACHE_DTYPE=
+    int8 changes, which teacher-forced prefill perplexity cannot see."""
+    n = len(corpus)
+    t = max(len(c) for c in corpus)
+    cut = max(2, int(min(len(c) for c in corpus) * split))
+    m = min(len(c) for c in corpus) - cut          # teacher-forced steps
+    ids = np.zeros((n, t), np.int32)
+    for i, c in enumerate(corpus):
+        ids[i, : len(c)] = c
+    ids_j = jnp.asarray(ids)
+    slots = jnp.arange(n, dtype=jnp.int32)
+    lengths = jnp.full((n,), cut, jnp.int32)
+
+    def run(cache_dtype):
+        cache = KVCache.create(spec, n, t, cache_dtype)
+        _, cache = core.prefill(spec, params, ids_j[:, :cut], lengths,
+                                slots, cache)
+        chunk_start = jnp.full((n,), cut, jnp.int32)
+        buf_dtype = jnp.float32
+        kbuf = jnp.zeros((spec.num_layers, n, spec.num_kv_heads, m,
+                          spec.head_dim), buf_dtype)
+        vbuf = jnp.zeros_like(kbuf)
+
+        @jax.jit
+        def steps(cache, kbuf, vbuf):
+            def body(carry, i):
+                kbuf, vbuf = carry
+                pos = cut + i     # teacher token at pos; ring col i holds it
+                logits, k_all, v_all = core.decode_ring_step(
+                    spec, params, ids_j[:, pos], jnp.full((n,), pos),
+                    cache, kbuf, vbuf, i, chunk_start)
+                kbuf = jax.lax.dynamic_update_slice(
+                    kbuf, k_all[:, :, :, None, :].astype(buf_dtype),
+                    (0, 0, 0, i, 0))
+                vbuf = jax.lax.dynamic_update_slice(
+                    vbuf, v_all[:, :, :, None, :].astype(buf_dtype),
+                    (0, 0, 0, i, 0))
+                return (kbuf, vbuf), logits
+            _, ls = jax.lax.scan(body, (kbuf, vbuf),
+                                 jnp.arange(m, dtype=jnp.int32))
+            return ls                                   # [m, N, V]
+        return steps(cache, kbuf, vbuf)
+
+    lg_fp = run(jnp.float32)
+    lg_q = run(jnp.int8)
+    lp_fp = jax.nn.log_softmax(lg_fp.astype(jnp.float32), axis=-1)
+    lp_q = jax.nn.log_softmax(lg_q.astype(jnp.float32), axis=-1)
+    kl = jnp.sum(jnp.exp(lp_fp) * (lp_fp - lp_q), axis=-1)
+    return float(jnp.mean(kl))
+
+
 def gptq_quantize_params(spec: DecoderSpec, params: dict,
                          corpus: list[list[int]], groupsize: int = 128,
                          act_order: bool = False) -> dict:
