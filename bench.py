@@ -252,10 +252,12 @@ CONFIGS = {
     "paged": dict(model="tinyllama", engine="paged", slots=64, chunk=64,
                   max_seq=1024, steps=128, warmup=64, kv="auto", prompt=64),
     # long-context: live ctx above paged_gather_ctx_max -> the Pallas
-    # paged-attention kernel serves (the regime paging exists for)
+    # paged-attention kernel serves (the regime paging exists for).
+    # 256-token pages halve the kernel grid (measured +22% over 128 at
+    # ctx 2176; 512 adds only +2% more and doubles tail fragmentation)
     "longctx": dict(model="tinyllama", engine="paged", slots=16, chunk=64,
                     max_seq=4096, steps=128, warmup=64, kv="auto",
-                    prompt=2048),
+                    prompt=2048, page=256),
     # optional extras (not in the default set)
     "int8": dict(model="llama7b-int8", engine="slot", slots=16, chunk=32,
                  max_seq=512, steps=64, warmup=32, kv="auto", prompt=64),
@@ -298,6 +300,8 @@ def _build_engine(name: str, cfg: dict, on_tpu: bool):
         max_batch_slots=slots, decode_chunk=chunk,
         prefill_buckets=[min(64, max_seq), max_seq],
         kv_cache_dtype=kv,
+        kv_page_size=int(os.environ.get("KV_PAGE_SIZE",
+                                        str(cfg.get("page", 128)))),
     )
     config.validate()
 

@@ -181,6 +181,61 @@ class TestPagedAttentionPartial(TestPagedAttention):
         assert np.all(np.isneginf(np.asarray(m)[0]))
 
 
+class TestPagedAttentionPartialStacked(TestPagedAttention):
+    """Layer-stacked pools + scalar-prefetched layer index: every layer of
+    the stack must reproduce the per-layer partial kernel exactly."""
+
+    def make_stacked(self, layers=3, seed=7, **kw):
+        rng = np.random.default_rng(seed)
+        q, kp, vp, bt, ctx, ps = self.make(seed=seed, **kw)
+        kh, rows, d = kp.shape
+        kps = jnp.asarray(rng.normal(size=(layers, kh, rows, d)), jnp.float32)
+        vps = jnp.asarray(rng.normal(size=(layers, kh, rows, d)), jnp.float32)
+        return q, kps, vps, bt, ctx, ps
+
+    def test_every_layer_matches_unstacked(self):
+        q, kps, vps, bt, ctx, ps = self.make_stacked()
+        for li in range(kps.shape[0]):
+            acc_r, m_r, l_r = pa.paged_decode_attention_partial(
+                q, kps[li], vps[li], bt, ctx, ps, interpret=True)
+            acc_s, m_s, l_s = pa.paged_decode_attention_partial_stacked(
+                q, kps, vps, bt, ctx, jnp.asarray([li], jnp.int32), ps,
+                interpret=True)
+            np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_r),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(l_s), np.asarray(l_r),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(acc_s), np.asarray(acc_r),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_traced_layer_index_in_scan(self):
+        """The serving path passes li as a traced scan value — the kernel
+        must accept it (scalar prefetch of a dynamic scalar)."""
+        q, kps, vps, bt, ctx, ps = self.make_stacked(layers=2, seed=9)
+
+        def step(carry, li):
+            acc, m, l = pa.paged_decode_attention_partial_stacked(
+                q, kps, vps, bt, ctx, li, ps, interpret=True)
+            return carry, acc
+
+        _, accs = jax.lax.scan(
+            step, 0, jnp.arange(2, dtype=jnp.int32))
+        for li in range(2):
+            ref, _, _ = pa.paged_decode_attention_partial_reference(
+                q, kps[li], vps[li], bt, ctx, ps)
+            np.testing.assert_allclose(np.asarray(accs[li]), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_zero_context_slot_stacked(self):
+        q, kps, vps, bt, _, ps = self.make_stacked(seed=11)
+        ctx = jnp.asarray([0, ps, 5], jnp.int32)
+        acc, m, l = pa.paged_decode_attention_partial_stacked(
+            q, kps, vps, bt, ctx, jnp.asarray([1], jnp.int32), ps,
+            interpret=True)
+        assert np.asarray(l)[0].max() == 0.0
+        assert np.all(np.isneginf(np.asarray(m)[0]))
+
+
 from text_generation_inference_tpu.ops.pallas import ring_decode_attention as rda
 
 

@@ -230,6 +230,10 @@ class ServingConfig:
                 self.decode_ctx_buckets.append(self.max_sequence_length)
         if self.kv_cache_dtype not in ("auto", "int8"):
             raise ValueError("kv_cache_dtype must be 'auto' or 'int8'")
+        if self.kv_page_size < 8 or self.kv_page_size % 8:
+            # pages are the paged-attention kernel's KV block rows: TPU
+            # tiling needs a multiple of the 8-row sublane
+            raise ValueError("kv_page_size must be a positive multiple of 8")
         if not 0.0 <= self.max_prefill_padding <= 1.0:
             raise ValueError("max_prefill_padding must be in [0, 1]")
         if self.max_batch_slots < 1:

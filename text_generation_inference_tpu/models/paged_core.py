@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from ..engine.paged_cache import PagedKVCache
 from ..ops.pallas.paged_attention import (
     paged_decode_attention,
-    paged_decode_attention_partial,
     paged_decode_attention_partial_reference,
+    paged_decode_attention_partial_stacked,
     paged_decode_attention_reference,
 )
 from .core import (
@@ -41,32 +41,41 @@ from .core import (
 )
 
 
-def _partial_attention(qg, kp, vp, bt, ctx, page_size, spec, mesh,
-                       slopes_kg=None, use_kernel=True):
-    """Pool attention with partial-softmax stats, dispatching to the Pallas
-    kernel (optionally shard_mapped over the kv-head/model axis when the
-    pool is tensor-parallel — attention is per-head, so no collectives are
-    needed inside) or the GSPMD-partitionable gather reference."""
+def _partial_attention_stacked(qg, kpools, vpools, bt, ctx, li, page_size,
+                               spec, mesh, slopes_kg=None, use_kernel=True):
+    """_partial_attention over layer-STACKED pools [L, K, POOL_R, D] with a
+    traced layer index `li` — the per-layer decode scan closes over the
+    whole pool and the Pallas kernel dereferences the layer via scalar
+    prefetch, so no per-layer pool slice is ever materialized (a scan-xs
+    slice feeding a custom call costs ~3x the KV traffic; see
+    _kernel_all_heads_stats_stacked)."""
     if not use_kernel:
+        kp = jax.lax.dynamic_index_in_dim(kpools, li, 0, keepdims=False)
+        vp = jax.lax.dynamic_index_in_dim(vpools, li, 0, keepdims=False)
         return paged_decode_attention_partial_reference(
             qg, kp, vp, bt, ctx, page_size, alibi_slopes_kg=slopes_kg)
-    if mesh is not None and mesh.shape.get("model", 1) > 1             and spec.num_kv_heads % mesh.shape["model"] == 0:
+    li = jnp.asarray(li, jnp.int32).reshape(1)
+    if mesh is not None and mesh.shape.get("model", 1) > 1 \
+            and spec.num_kv_heads % mesh.shape["model"] == 0:
         import functools
 
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         fn = shard_map(
-            functools.partial(paged_decode_attention_partial,
+            functools.partial(paged_decode_attention_partial_stacked,
                               page_size=page_size),
             mesh=mesh,
-            in_specs=(P(None, "model", None, None), P("model", None, None),
-                      P("model", None, None), P(None, None), P(None)),
+            in_specs=(P(None, "model", None, None),
+                      P(None, "model", None, None),
+                      P(None, "model", None, None),
+                      P(None, None), P(None), P(None)),
             out_specs=(P(None, "model", None, None), P(None, "model", None),
                        P(None, "model", None)),
             check_rep=False)
-        return fn(qg, kp, vp, bt, ctx)
-    return paged_decode_attention_partial(qg, kp, vp, bt, ctx, page_size)
+        return fn(qg, kpools, vpools, bt, ctx, li)
+    return paged_decode_attention_partial_stacked(qg, kpools, vpools, bt,
+                                                  ctx, li, page_size)
 
 
 def _use_kernel() -> bool:
@@ -247,7 +256,7 @@ def decode_paged_ring_step(
         buf_bias = new_bias = None
 
     def layer(x, inputs):
-        lp, kp, vp, kb, vb = inputs     # pool + ring READ-ONLY
+        lp, li, kb, vb = inputs         # pool closed over, READ-ONLY
         h = _norm(spec, lp["ln1"], x)
         q, k, v = _qkv(spec, lp, h)
         if cos is not None:
@@ -255,10 +264,12 @@ def decode_paged_ring_step(
             k = _apply_rope(spec, k, cos, sin)
         qg = q.reshape(s, spec.num_kv_heads, group, spec.head_dim)
 
-        # part 1: pool attention over pre-chunk context (partial stats)
-        acc1, m1, l1 = _partial_attention(
-            qg, kp, vp, bt, chunk_start, page_size, spec, mesh,
-            slopes_kg=(slopes_kg if spec.pos == "alibi" else None),
+        # part 1: pool attention over pre-chunk context (partial stats).
+        # The stacked kernel indexes the layer inside the kernel — the pool
+        # is NOT scan xs, so XLA never materializes a per-layer slice copy.
+        acc1, m1, l1 = _partial_attention_stacked(
+            qg, cache.k, cache.v, bt, chunk_start, li, page_size, spec,
+            mesh, slopes_kg=(slopes_kg if spec.pos == "alibi" else None),
             use_kernel=use_kernel)
 
         # part 2: in-chunk ring + current token
@@ -300,8 +311,9 @@ def decode_paged_ring_step(
             x = x + _mlp(spec, lp, h2)
         return x, (k, v)
 
+    layer_ids = jnp.arange(spec.num_layers, dtype=jnp.int32)
     x, (k_all, v_all) = _layer_scan(
-        layer, x, params["layers"], (cache.k, cache.v, kbuf, vbuf))
+        layer, x, params["layers"], (layer_ids, kbuf, vbuf))
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     return logits, k_all, v_all

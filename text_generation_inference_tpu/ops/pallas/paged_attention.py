@@ -31,6 +31,42 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
+def _flash_page_update(q, k, v, ctx, b, page_size, scale,
+                       m_ref, l_ref, acc_ref):
+    """One online-softmax update step over a single page: q [K,G,D] f32,
+    k/v [K,page,D] f32; folds the page's scores into the running
+    (m, l, acc) scratch state."""
+    kh, g, d = q.shape
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # [K, G, page]
+    pos = b * page_size + jax.lax.broadcasted_iota(
+        jnp.int32, scores.shape, 2)
+    scores = jnp.where(pos < ctx, scores, NEG_INF)
+
+    m_prev = m_ref[...].reshape(kh, g, 1)
+    m_cur = jnp.max(scores, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
+    p = jnp.exp(scores - m_safe)
+    p = jnp.where(scores == NEG_INF, 0.0, p)
+    alpha = jnp.exp(m_prev - m_safe)
+    alpha = jnp.where(m_prev == NEG_INF, 0.0, alpha)
+
+    l_prev = l_ref[...].reshape(kh, g, 1)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    l_ref[...] = l_new.reshape(kh * g, 1)
+    v_valid = (b * page_size + jax.lax.broadcasted_iota(
+        jnp.int32, v.shape, 1)) < ctx
+    v = jnp.where(v_valid, v, 0.0)
+    pv = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [K, G, D]
+    acc_ref[...] = (acc_ref[...].reshape(kh, g, d) * alpha
+                    + pv).reshape(kh * g, d)
+    m_ref[...] = m_new.reshape(kh * g, 1)
+
+
 def _kernel_all_heads_stats(ctx_ref, bt_ref, q_ref, k_ref, v_ref,
                             o_ref, mo_ref, lo_ref,
                             m_ref, l_ref, acc_ref, *,
@@ -52,43 +88,54 @@ def _kernel_all_heads_stats(ctx_ref, bt_ref, q_ref, k_ref, v_ref,
 
     @pl.when(b * page_size < ctx)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)                 # [K, G, D]
-        k = k_ref[...].astype(jnp.float32)               # [K, page, D]
-        kh, g, d = q.shape
-        scores = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # [K, G, page]
-        pos = b * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 2)
-        scores = jnp.where(pos < ctx, scores, NEG_INF)
-
-        m_prev = m_ref[...].reshape(kh, g, 1)
-        m_cur = jnp.max(scores, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
-        p = jnp.exp(scores - m_safe)
-        p = jnp.where(scores == NEG_INF, 0.0, p)
-        alpha = jnp.exp(m_prev - m_safe)
-        alpha = jnp.where(m_prev == NEG_INF, 0.0, alpha)
-
-        l_prev = l_ref[...].reshape(kh, g, 1)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        l_ref[...] = l_new.reshape(kh * g, 1)
-        v = v_ref[...].astype(jnp.float32)               # [K, page, D]
-        v_valid = (b * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, v.shape, 1)) < ctx
-        v = jnp.where(v_valid, v, 0.0)
-        pv = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [K, G, D]
-        acc_ref[...] = (acc_ref[...].reshape(kh, g, d) * alpha
-                        + pv).reshape(kh * g, d)
-        m_ref[...] = m_new.reshape(kh * g, 1)
+        _flash_page_update(q_ref[0].astype(jnp.float32),
+                           k_ref[...].astype(jnp.float32),
+                           v_ref[...].astype(jnp.float32),
+                           ctx, b, page_size, scale, m_ref, l_ref, acc_ref)
 
     @pl.when(b == nb - 1)
     def _finish():
         kh, g, d = o_ref.shape[1], o_ref.shape[2], o_ref.shape[3]
         # UNNORMALIZED accumulator + stats out: caller merges and divides
+        o_ref[0] = acc_ref[...].reshape(kh, g, d).astype(o_ref.dtype)
+        mo_ref[0] = m_ref[...].reshape(kh, g).astype(mo_ref.dtype)
+        lo_ref[0] = l_ref[...].reshape(kh, g).astype(lo_ref.dtype)
+
+
+def _kernel_all_heads_stats_stacked(li_ref, ctx_ref, bt_ref,
+                                    q_ref, k_ref, v_ref,
+                                    o_ref, mo_ref, lo_ref,
+                                    m_ref, l_ref, acc_ref, *,
+                                    page_size: int, scale: float):
+    """Stacked-pool variant of _kernel_all_heads_stats: the KV pools keep
+    their layer axis ([L, K, R, D]) and the layer to attend over arrives as
+    a scalar-prefetch operand dereferenced by the block index map. This is
+    what lets the per-layer decode scan close over the WHOLE pool instead
+    of carrying it as scan xs — a scan-xs dynamic-slice feeding a custom
+    call is materialized by XLA (slice read + slice write + kernel read ≈
+    3x the KV traffic; same pathology ops/pallas/int4_matmul.py's stacked
+    kernel removed for weights, measured in scripts/probe_decode.py)."""
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    ctx = ctx_ref[s]
+
+    @pl.when(b == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(b * page_size < ctx)
+    def _compute():
+        _flash_page_update(q_ref[0].astype(jnp.float32),
+                           k_ref[0].astype(jnp.float32),
+                           v_ref[0].astype(jnp.float32),
+                           ctx, b, page_size, scale, m_ref, l_ref, acc_ref)
+
+    @pl.when(b == nb - 1)
+    def _finish():
+        kh, g, d = o_ref.shape[1], o_ref.shape[2], o_ref.shape[3]
         o_ref[0] = acc_ref[...].reshape(kh, g, d).astype(o_ref.dtype)
         mo_ref[0] = m_ref[...].reshape(kh, g).astype(mo_ref.dtype)
         lo_ref[0] = l_ref[...].reshape(kh, g).astype(lo_ref.dtype)
@@ -112,38 +159,10 @@ def _kernel_all_heads(ctx_ref, bt_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(b * page_size < ctx)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)                 # [K, G, D]
-        k = k_ref[...].astype(jnp.float32)               # [K, page, D]
-        kh, g, d = q.shape
-        scores = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # [K, G, page]
-        pos = b * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 2)
-        scores = jnp.where(pos < ctx, scores, NEG_INF)
-
-        m_prev = m_ref[...].reshape(kh, g, 1)
-        m_cur = jnp.max(scores, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        m_safe = jnp.where(m_new == NEG_INF, 0.0, m_new)
-        p = jnp.exp(scores - m_safe)
-        p = jnp.where(scores == NEG_INF, 0.0, p)
-        alpha = jnp.exp(m_prev - m_safe)
-        alpha = jnp.where(m_prev == NEG_INF, 0.0, alpha)
-
-        l_prev = l_ref[...].reshape(kh, g, 1)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        l_ref[...] = l_new.reshape(kh * g, 1)
-        v = v_ref[...].astype(jnp.float32)               # [K, page, D]
-        v_valid = (b * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, v.shape, 1)) < ctx
-        v = jnp.where(v_valid, v, 0.0)
-        pv = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)          # [K, G, D]
-        acc_ref[...] = (acc_ref[...].reshape(kh, g, d) * alpha
-                        + pv).reshape(kh * g, d)
-        m_ref[...] = m_new.reshape(kh * g, 1)
+        _flash_page_update(q_ref[0].astype(jnp.float32),
+                           k_ref[...].astype(jnp.float32),
+                           v_ref[...].astype(jnp.float32),
+                           ctx, b, page_size, scale, m_ref, l_ref, acc_ref)
 
     @pl.when(b == nb - 1)
     def _finish():
@@ -262,6 +281,73 @@ def paged_decode_attention_partial(q: jax.Array, k_pool: jax.Array,
     )
     return kernel(ctx.astype(jnp.int32), block_table.astype(jnp.int32),
                   q, k_pool, v_pool)
+
+
+def paged_decode_attention_partial_stacked(q: jax.Array, k_pools: jax.Array,
+                                           v_pools: jax.Array,
+                                           block_table: jax.Array,
+                                           ctx: jax.Array,
+                                           layer_idx: jax.Array,
+                                           page_size: int,
+                                           *, interpret: bool = False):
+    """paged_decode_attention_partial over LAYER-STACKED pools
+    ([L, K, POOL_R, D]) with the layer picked by a scalar-prefetched index
+    — see _kernel_all_heads_stats_stacked for why this beats slicing the
+    pool per layer in a scan. layer_idx: [1] (or scalar) int32."""
+    s, kh, g, d = q.shape
+    max_pages = block_table.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    layer_idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    def q_index(si, bi, li_ref, ctx_ref, bt_ref):
+        return (si, 0, 0, 0)
+
+    def kv_index(si, bi, li_ref, ctx_ref, bt_ref):
+        # clamp to the table width too: a freed slot's stale ctx may imply
+        # more pages than the (possibly live-page-sliced) table holds
+        last_live = jnp.clip(pl.cdiv(ctx_ref[si], page_size) - 1, 0,
+                             max_pages - 1)
+        page = bt_ref[si, jnp.minimum(bi, last_live)]
+        return (li_ref[0], 0, page, 0)
+
+    def o_index(si, bi, li_ref, ctx_ref, bt_ref):
+        return (si, 0, 0, 0)
+
+    def stat_index(si, bi, li_ref, ctx_ref, bt_ref):
+        return (si, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, kh, g, d), q_index),
+            pl.BlockSpec((1, kh, page_size, d), kv_index),
+            pl.BlockSpec((1, kh, page_size, d), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, kh, g, d), o_index),
+            pl.BlockSpec((1, kh, g), stat_index),
+            pl.BlockSpec((1, kh, g), stat_index),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kh * g, 1), jnp.float32),
+            pltpu.VMEM((kh * g, 1), jnp.float32),
+            pltpu.VMEM((kh * g, d), jnp.float32),
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_kernel_all_heads_stats_stacked,
+                          page_size=page_size, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, kh, g, d), jnp.float32),
+            jax.ShapeDtypeStruct((s, kh, g), jnp.float32),
+            jax.ShapeDtypeStruct((s, kh, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    return kernel(layer_idx, ctx.astype(jnp.int32),
+                  block_table.astype(jnp.int32), q, k_pools, v_pools)
 
 
 def paged_decode_attention_partial_reference(q, k_pool, v_pool, block_table,
