@@ -441,7 +441,13 @@ class PagedInferenceEngine:
             for pages in self._page_bucket_grid():
                 self._warmup_pages = pages
                 for want_details in (False, True):
-                    self.decode_steps(want_details=want_details)
+                    for chunk in self._chunk_grid():
+                        # every chunk variant incl. the streaming chunk —
+                        # a first streaming request must not pay the
+                        # executable load (measured: a ~10-20s stall that
+                        # queues every open-loop arrival behind it)
+                        self.decode_steps(want_details=want_details,
+                                          chunk=chunk)
         finally:
             self._warmup_pages = None
         self.reset()
