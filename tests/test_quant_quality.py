@@ -86,3 +86,30 @@ class TestQuantQuality:
         kl = quality.kv_cache_kl(spec, params, corpus, split=0.5)
         assert np.isfinite(kl)
         assert kl < 1e-3
+
+    def test_outlier_decomposition_beats_plain_int8_on_outlier_model(self):
+        """Static LLM.int8 (Int8OutlierWeight): on a model with a systematic
+        residual-stream outlier feature, calibrated decomposition must beat
+        plain per-channel int8 by a wide margin (the reason the reference
+        ships bitsandbytes for >=6.7B checkpoints)."""
+        from text_generation_inference_tpu.ops.quant.calibrate import (
+            collect_linear_input_absmax)
+
+        spec, params = families.load_model(fixtures.tiny_llama(),
+                                           dtype=jnp.float32)
+        emb = np.array(params["embed_tokens"], np.float32)
+        emb[:, 13] += 30.0                  # hot feature dim, every token
+        params = dict(params, embed_tokens=jnp.asarray(emb))
+        rng = np.random.default_rng(11)
+        corpus = [rng.integers(1, spec.vocab_size, size=int(n)).tolist()
+                  for n in rng.integers(12, 48, size=6)]
+
+        calib = rng.integers(0, spec.vocab_size, size=(2, 24))
+        stats = collect_linear_input_absmax(spec, params, calib)
+        kl_plain = quality.mean_token_kl(
+            spec, params, quantize_layer_params(params), corpus)
+        kl_outlier = quality.mean_token_kl(
+            spec, params, quantize_layer_params(params, outlier_stats=stats),
+            corpus)
+        assert kl_outlier < kl_plain, (kl_outlier, kl_plain)
+        assert kl_outlier < kl_plain / 2, (kl_outlier, kl_plain)

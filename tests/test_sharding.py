@@ -153,10 +153,30 @@ class TestQuantizedTensorParallel:
         # w_down: in = 256 -> 8 groups, divisible -> row-sharded
         assert specs["layers"]["w_down"].qweight == P(None, "model", None)
 
-    @pytest.mark.parametrize("quant", ["int4", "int8"])
+    def _qparams_int8_outliers(self, params):
+        from text_generation_inference_tpu.ops.quant.int8 import (
+            quantize_layer_params)
+
+        # synthetic calibration stats: features 3 and 17 hot on every linear
+        stats = {}
+        for k, w in params["layers"].items():
+            if k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+                am = np.ones((w.shape[0], w.shape[1]), np.float32)
+                am[:, 3] = 9.0
+                am[:, 17] = 8.0
+                stats[k] = am
+        return quantize_layer_params(params, outlier_stats=stats)
+
+    @pytest.mark.parametrize("quant", ["int4", "int8", "int8_outliers"])
     def test_quantized_tp_matches_single_device(self, params, quant):
-        qp = self._qparams_int4(params) if quant == "int4" \
-            else self._qparams_int8(params)
+        qp = {"int4": self._qparams_int4,
+              "int8": self._qparams_int8,
+              "int8_outliers": self._qparams_int8_outliers}[quant](params)
+        if quant == "int8_outliers":
+            from text_generation_inference_tpu.ops.quant.int8 import (
+                Int8OutlierWeight)
+
+            assert isinstance(qp["layers"]["wq"], Int8OutlierWeight)
         ref_cache = KVCache.create(SPEC, 2, 32, jnp.float32)
         ref_prefill, ref_decode = _run(SPEC, qp, ref_cache)
 

@@ -60,7 +60,9 @@ class ServingConfig:
     model_name: str = ""                      # path or HF id of the model
     revision: str | None = None
     dtype_str: str = "bfloat16"               # compute dtype on TPU
-    quantize: str | None = None               # None | "gptq"
+    quantize: str | None = None               # None | "gptq" | "int8" |
+                                              # "int8-outliers"/"bitsandbytes"
+                                              # (LLM.int8 static decomposition)
     model_kind: str = "decoder"               # "decoder" | "encoder_decoder"
 
     # --- request/API limits (reference: launcher/src/main.rs:53-67) ---

@@ -906,6 +906,21 @@ def load_model(model_dir: str, dtype=jnp.bfloat16,
         from ..ops.quant.int8 import quantize_layer_params
 
         params = quantize_layer_params(params)
+    elif quantize in ("int8-outliers", "bitsandbytes"):
+        # the reference's LLM.int8 slot (its flag name accepted as an
+        # alias): calibrate activation absmax per linear input feature,
+        # then mixed-precision-quantize — outlier feature rows bf16, rest
+        # int8 (static decomposition; see ops/quant/int8.py docstring)
+        import numpy as np
+
+        from ..ops.quant.calibrate import collect_linear_input_absmax
+        from ..ops.quant.int8 import quantize_layer_params
+
+        rng = np.random.default_rng(0)
+        calib_t = min(128, int(config.get("max_position_embeddings", 128)))
+        calib_ids = rng.integers(0, spec.vocab_size, size=(4, calib_t))
+        stats = collect_linear_input_absmax(spec, params, calib_ids)
+        params = quantize_layer_params(params, outlier_stats=stats)
     elif quantize == "gptq":
         # GPTQ has no load-time quantization path (it needs calibration,
         # done offline via `cli.py quantize`); the flag is a *requirement*
@@ -923,6 +938,6 @@ def load_model(model_dir: str, dtype=jnp.bfloat16,
                 "(`text-generation-inference-tpu quantize`) or unset "
                 "QUANTIZE")
     elif quantize is not None:
-        raise ValueError(f"unsupported quantize mode {quantize!r}; "
-                         "expected 'int8' or 'gptq'")
+        raise ValueError(f"unsupported quantize mode {quantize!r}; expected "
+                         "'int8', 'int8-outliers', 'bitsandbytes' or 'gptq'")
     return spec, params

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.quant.int4 import Int4Weight
-from ..ops.quant.int8 import Int8Weight
+from ..ops.quant.int8 import Int8OutlierWeight, Int8Weight
 from .core import DecoderSpec
 
 
@@ -25,6 +25,16 @@ def _can_fuse(ws) -> bool:
     kinds = {type(w) for w in ws}
     if len(kinds) != 1:
         return False
+    if isinstance(ws[0], Int8OutlierWeight):
+        # co-located projections share their input, hence the same
+        # calibration stats and outlier set — but verify, since fusing
+        # different outlier_idx would silently mis-route features
+        import numpy as np
+
+        return (all(w.q.shape[:-1] == ws[0].q.shape[:-1] for w in ws)
+                and all(np.array_equal(np.asarray(w.outlier_idx),
+                                       np.asarray(ws[0].outlier_idx))
+                        for w in ws[1:]))
     if isinstance(ws[0], Int8Weight):
         return all(w.q.shape[:-1] == ws[0].q.shape[:-1] for w in ws)
     if isinstance(ws[0], Int4Weight):
@@ -41,6 +51,12 @@ def _can_fuse(ws) -> bool:
 def _concat_out(ws):
     """Concatenate along the output axis (last dim; axis 2 with the layer
     stack in front)."""
+    if isinstance(ws[0], Int8OutlierWeight):
+        return Int8OutlierWeight(
+            q=jnp.concatenate([w.q for w in ws], axis=-1),
+            scale=jnp.concatenate([w.scale for w in ws], axis=-1),
+            outlier_idx=ws[0].outlier_idx,
+            outlier_w=jnp.concatenate([w.outlier_w for w in ws], axis=-1))
     if isinstance(ws[0], Int8Weight):
         return Int8Weight(
             q=jnp.concatenate([w.q for w in ws], axis=-1),

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import os
 
 from .quant.int4 import Int4Weight, matmul_dequant, populate_q4, to_lane
-from .quant.int8 import Int8Weight, matmul_int8
+from .quant.int8 import (Int8OutlierWeight, Int8Weight, matmul_int8,
+                         matmul_int8_outliers)
 
 
 class Int4Stacked(NamedTuple):
@@ -68,6 +69,8 @@ def matmul(x: jax.Array, w) -> jax.Array:
         return y.reshape(*lead, w.out_features)
     if isinstance(w, Int8Weight):
         return matmul_int8(x, w)
+    if isinstance(w, Int8OutlierWeight):
+        return matmul_int8_outliers(x, w)
     if isinstance(w, Int4Weight):
         if w.perm is not None:
             x = jnp.take(x, w.perm, axis=-1)
@@ -172,7 +175,7 @@ def prepare_storage(params):
 
 
 def is_quantized(w) -> bool:
-    return isinstance(w, (Int4Weight, Int8Weight))
+    return isinstance(w, (Int4Weight, Int8Weight, Int8OutlierWeight))
 
 
 def _stacked_enabled() -> bool:

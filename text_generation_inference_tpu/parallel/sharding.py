@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.core import DecoderSpec, KVCache
 from ..ops.quant.int4 import Int4Weight
-from ..ops.quant.int8 import Int8Weight
+from ..ops.quant.int8 import Int8OutlierWeight, Int8Weight
 
 
 def make_mesh(model_parallel: Optional[int] = None,
@@ -91,6 +91,32 @@ def _quant_leaf_specs(arr, kind: str, ms: int):
         return Int8Weight(q=P(*lead(arr.q), None, None),
                           scale=P(*lead1(arr.scale), None))
 
+    if isinstance(arr, Int8OutlierWeight):
+        # q/scale shard like Int8Weight; outlier_w [(L,) K, out] follows
+        # the OUT split for col-parallel. outlier_idx names GLOBAL input
+        # features, so a row split of the int8 part would leave the gather
+        # crossing shards — outlier_idx/outlier_w stay replicated for
+        # "row" (K is tiny; the bf16 side is cheap to replicate), matching
+        # the reference's rule of degrading gracefully when a quantized
+        # layout and TP split don't compose (weights.py:150-156).
+        if kind == "col" and arr.out_features % ms == 0:
+            return Int8OutlierWeight(
+                q=P(*lead(arr.q), None, "model"),
+                scale=P(*lead1(arr.scale), "model"),
+                outlier_idx=P(*lead1(arr.outlier_idx), None),
+                outlier_w=P(*lead(arr.outlier_w), None, "model"))
+        if kind == "row" and arr.in_features % ms == 0:
+            return Int8OutlierWeight(
+                q=P(*lead(arr.q), "model", None),
+                scale=P(*lead1(arr.scale), None),
+                outlier_idx=P(*lead1(arr.outlier_idx), None),
+                outlier_w=P(*lead(arr.outlier_w), None, None))
+        return Int8OutlierWeight(
+            q=P(*lead(arr.q), None, None),
+            scale=P(*lead1(arr.scale), None),
+            outlier_idx=P(*lead1(arr.outlier_idx), None),
+            outlier_w=P(*lead(arr.outlier_w), None, None))
+
     # Int4Weight; groups = scales.shape[-2]
     w: Int4Weight = arr
     groups = w.scales.shape[-2]
@@ -142,7 +168,7 @@ def _quant_leaf_specs(arr, kind: str, ms: int):
 
 
 def _is_quant(x) -> bool:
-    return isinstance(x, (Int4Weight, Int8Weight))
+    return isinstance(x, (Int4Weight, Int8Weight, Int8OutlierWeight))
 
 
 def param_specs(spec: DecoderSpec, params: dict, mesh: Mesh) -> dict:
