@@ -884,6 +884,86 @@ FAMILIES: dict[str, tuple[Callable[[dict], DecoderSpec], Callable]] = {
 }
 
 
+# Default LLM.int8 calibration corpus: short natural-language + code
+# snippets. The threshold-6.0 outlier statistics are defined over real-text
+# activations (LLM.int8 paper; the reference gets this implicitly because
+# bitsandbytes selects outliers on the live batch) — uniform random token
+# ids activate the wrong feature dims. CALIBRATION_TEXT_PATH supplies a
+# deployment-specific corpus (one prompt per line) instead.
+_CALIBRATION_TEXTS = [
+    "The quick brown fox jumps over the lazy dog. Machine learning systems "
+    "transform natural language into dense vector representations, and the "
+    "resulting activations exhibit systematic outlier feature dimensions.",
+    "def tokenize(text):\n    return [vocab[t] for t in text.split()]\n\n"
+    "class Server:\n    def __init__(self, port=8033):\n        self.port "
+    "= port",
+    "In 1969, the Apollo 11 mission landed the first humans on the Moon; "
+    "the guidance computer had 2048 words of RAM and ran at 0.043 MHz.",
+    "Les mots étrangers, die Umlaute, and 漢字 exercise the multilingual "
+    "token space; punctuation — em-dashes, ellipses… and “smart quotes” — "
+    "exercises the byte fallback.",
+]
+
+
+def _calibration_token_ids(model_dir: str, spec: DecoderSpec,
+                           calib_t: int) -> "np.ndarray":
+    """Tokenizer-encoded calibration prompts for the LLM.int8 outlier
+    statistics; falls back to uniform random ids only when no tokenizer is
+    available (e.g. bare-tensor test fixtures)."""
+    import logging
+
+    logger = logging.getLogger(__name__)
+    texts = None
+    path = __import__("os").getenv("CALIBRATION_TEXT_PATH")
+    if path:
+        texts = [ln for ln in Path(path).read_text().splitlines()
+                 if ln.strip()]
+    try:
+        from ..utils.tokenization import ServingTokenizer
+
+        tok = ServingTokenizer.load(model_dir)
+        rows = []
+        for text in texts or _CALIBRATION_TEXTS:
+            ids = [i for i in tok.encode(text, add_special_tokens=True)
+                   if i < spec.vocab_size]
+            if ids:
+                rows.append(ids[:calib_t])
+        if rows:
+            t = max(len(r) for r in rows)
+            out = np.zeros((len(rows), t), np.int64)
+            for i, r in enumerate(rows):
+                out[i, : len(r)] = r
+                out[i, len(r):] = r[-1]   # repeat-pad: stats stay on-text
+            logger.info("int8-outlier calibration: %d tokenized prompts "
+                        "(%s)", len(rows),
+                        "CALIBRATION_TEXT_PATH" if texts else "built-in")
+            return out
+    except Exception:
+        logger.warning(
+            "int8-outlier calibration: tokenizer unavailable for %s; "
+            "falling back to random token ids (outlier selection may be "
+            "inaccurate — provide tokenizer files or CALIBRATION_TEXT_PATH)",
+            model_dir, exc_info=True)
+    rng = np.random.default_rng(0)
+    return rng.integers(0, spec.vocab_size, size=(4, calib_t))
+
+
+def _log_outlier_selection(params: dict) -> None:
+    """Log which features the static LLM.int8 decomposition kept bf16."""
+    import logging
+
+    from ..ops.quant.int8 import Int8OutlierWeight
+
+    logger = logging.getLogger(__name__)
+    for k, w in params["layers"].items():
+        if isinstance(w, Int8OutlierWeight):
+            idx = np.asarray(w.outlier_idx)
+            logger.info(
+                "int8-outliers %s: %d/%d features bf16 (layer-0 dims: %s)",
+                k, idx.shape[1], w.in_features,
+                np.sort(idx[0])[:16].tolist())
+
+
 def load_model(model_dir: str, dtype=jnp.bfloat16,
                quantize: str | None = None) -> tuple[DecoderSpec, dict]:
     """Load (spec, params) for any supported decoder-only HF checkpoint.
@@ -911,16 +991,14 @@ def load_model(model_dir: str, dtype=jnp.bfloat16,
         # alias): calibrate activation absmax per linear input feature,
         # then mixed-precision-quantize — outlier feature rows bf16, rest
         # int8 (static decomposition; see ops/quant/int8.py docstring)
-        import numpy as np
-
         from ..ops.quant.calibrate import collect_linear_input_absmax
         from ..ops.quant.int8 import quantize_layer_params
 
-        rng = np.random.default_rng(0)
         calib_t = min(128, int(config.get("max_position_embeddings", 128)))
-        calib_ids = rng.integers(0, spec.vocab_size, size=(4, calib_t))
+        calib_ids = _calibration_token_ids(model_dir, spec, calib_t)
         stats = collect_linear_input_absmax(spec, params, calib_ids)
         params = quantize_layer_params(params, outlier_stats=stats)
+        _log_outlier_selection(params)
     elif quantize == "gptq":
         # GPTQ has no load-time quantization path (it needs calibration,
         # done offline via `cli.py quantize`); the flag is a *requirement*

@@ -16,13 +16,16 @@ Used by `tests/test_quant_quality.py` (CI thresholds for GPTQ-INT4
 act-order on/off, RTN-INT4, and INT8) and `scripts/quant_quality.py`
 (real checkpoints).
 
-INT8 note (documented divergence): weight-only per-channel absmax INT8 has
-no activation-outlier decomposition (the mechanism the reference's int8
-gets from LLM.int8, reference: utils/layers.py:114-169). Its measured KL
-must therefore sit well below INT4's — the CI test asserts that ordering —
-but on >6.7B real checkpoints with severe activation outliers the
-reference's scheme can be more accurate; measure with
-scripts/quant_quality.py before shipping quantize=int8 on a new model.
+INT8 note: plain `quantize=int8` is weight-only per-channel absmax with no
+activation-outlier handling; `quantize=bitsandbytes` adds the LLM.int8
+equivalent — a static activation-outlier decomposition that keeps calibrated
+outlier feature rows in bf16 (ops/quant/int8.py::Int8OutlierWeight,
+reference mechanism: utils/layers.py:114-169). The CI test asserts plain
+INT8's KL sits below INT4's and that the outlier decomposition strictly
+improves on plain INT8 on an outlier-planted model
+(tests/test_quant_quality.py). On >6.7B real checkpoints with severe
+activation outliers prefer quantize=bitsandbytes; measure with
+scripts/quant_quality.py before shipping either mode on a new model.
 """
 
 from __future__ import annotations
@@ -96,8 +99,15 @@ def kv_cache_kl(spec: DecoderSpec, params: dict,
     int8 changes, which teacher-forced prefill perplexity cannot see."""
     n = len(corpus)
     t = max(len(c) for c in corpus)
-    cut = max(2, int(min(len(c) for c in corpus) * split))
-    m = min(len(c) for c in corpus) - cut          # teacher-forced steps
+    shortest = min(len(c) for c in corpus)
+    cut = max(2, int(shortest * split))
+    cut = min(cut, shortest - 1)     # always leave >=1 teacher-forced step
+    m = shortest - cut               # teacher-forced steps
+    if m < 1:
+        raise ValueError(
+            f"kv_cache_kl: shortest corpus row ({shortest} tokens) leaves no "
+            f"teacher-forced steps after the prefill split (cut={cut}); "
+            "need rows of >= 3 tokens")
     ids = np.zeros((n, t), np.int32)
     for i, c in enumerate(corpus):
         ids[i, : len(c)] = c
