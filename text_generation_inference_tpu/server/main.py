@@ -160,7 +160,29 @@ async def async_serve(config: ServingConfig) -> None:
     if _os.getenv("WARMUP", "1").lower() not in ("0", "false") \
             and hasattr(engine, "warmup"):
         logger.info("warming up compiled shapes (set WARMUP=0 to skip)")
+        # multi-host: warmup is a deterministic jitted-call sequence, so
+        # every rank runs it independently and the collectives line up
         engine.warmup()
+
+    # Multi-host serving (SURVEY §2.6 first-class goal; the reference's
+    # ShardedClient lockstep broadcast, sharded_client.rs:34-52): rank 0
+    # serves and publishes every engine op; other ranks replay them so all
+    # processes execute identical jitted calls. See parallel/multihost.py.
+    if jax.process_count() > 1:
+        from ..parallel import multihost
+
+        if jax.process_index() == 0:
+            pub = multihost.StepPublisher(jax.process_count() - 1)
+            engine = multihost.ReplicatedEngine(engine, pub)
+            logger.info("multihost: rank 0 serving with %d follower(s)",
+                        jax.process_count() - 1)
+        else:
+            sub = multihost.StepSubscriber()
+            logger.info("multihost: rank %d entering follower step loop",
+                        jax.process_index())
+            await asyncio.get_running_loop().run_in_executor(
+                None, multihost.follower_loop, engine, sub)
+            return
 
     batcher = Batcher(engine, tokenizer, config, prompt_cache=prompt_cache)
     batcher.start()
@@ -185,6 +207,8 @@ async def async_serve(config: ServingConfig) -> None:
     await grpc_server.stop(grace=5.0)
     http_server.close()
     await batcher.stop()
+    if hasattr(engine, "shutdown"):
+        engine.shutdown()   # multihost: release followers (OP_STOP)
 
 
 def serve(config: ServingConfig) -> None:
