@@ -338,3 +338,102 @@ class TestLivePageBuckets:
         auto = PagedInferenceEngine(spec, params, make_config(decode_chunk=4),
                                     eos_token_id=2, num_pages=64)
         assert run_engine(auto, PROMPTS[0], 12) == full
+
+
+class TestPagedInt8KVCache:
+    """kv_cache_dtype=int8 on the paged engine (VERDICT r4 asked for the
+    ring-chunk quantize-on-flush scheme ported to the page pool): scale
+    pools ride the block table, quantization happens at prefill scatter +
+    chunk flush, reads fold the scale into the score/value contractions.
+    Mirrors tests/test_engine.py::TestInt8KVCache for the slot engine."""
+
+    def _build(self, kv, chunk=4, gather_max=1024, num_pages=64):
+        spec, params = families.load_model(fixtures.tiny_llama(),
+                                           dtype=jnp.float32)
+        cfg = make_config(decode_chunk=chunk, decode_write_mode="ring",
+                          kv_cache_dtype=kv,
+                          paged_gather_ctx_max=gather_max)
+        return PagedInferenceEngine(spec, params, cfg, eos_token_id=2,
+                                    num_pages=num_pages)
+
+    def test_greedy_stream_matches_fp_dense_gather(self):
+        fp = run_engine(self._build("auto"), PROMPTS[0], 24)
+        q8 = run_engine(self._build("int8"), PROMPTS[0], 24)
+        assert q8 == fp
+
+    def test_greedy_stream_matches_fp_partial_path(self):
+        """gather_ctx_max=0 forces the pool-partial path (the kernel
+        regime), which for int8 folds scales in the gather-based partial
+        reference."""
+        fp = run_engine(self._build("auto", gather_max=0), PROMPTS[1], 16)
+        q8 = run_engine(self._build("int8", gather_max=0), PROMPTS[1], 16)
+        assert q8 == fp
+
+    def test_multislot_staggered_with_frees(self):
+        outs = []
+        for kv in ("auto", "int8"):
+            eng = self._build(kv)
+            sa = eng.acquire_slot()
+            ra = eng.prefill([sa], [PROMPTS[0]],
+                             [RequestParams(max_new_tokens=20)])
+            out_a = [int(ra.first_token.next_ids[0])]
+            for step in eng.decode_steps():
+                out_a.append(int(step.next_ids[sa]))
+            sb = eng.acquire_slot()
+            rb = eng.prefill([sb], [PROMPTS[1]],
+                             [RequestParams(max_new_tokens=20)])
+            out_b = [int(rb.first_token.next_ids[0])]
+            for _ in range(2):
+                for step in eng.decode_steps():
+                    out_a.append(int(step.next_ids[sa]))
+                    out_b.append(int(step.next_ids[sb]))
+            eng.free(sa)          # page reuse after free
+            sc = eng.acquire_slot()
+            rc = eng.prefill([sc], [PROMPTS[2]],
+                             [RequestParams(max_new_tokens=8)])
+            out_c = [int(rc.first_token.next_ids[0])]
+            for step in eng.decode_steps():
+                out_b.append(int(step.next_ids[sb]))
+                out_c.append(int(step.next_ids[sc]))
+            outs.append((out_a, out_b, out_c))
+        assert outs[0] == outs[1]
+
+    def test_sampling_seeded_matches_fp(self):
+        rp = RequestParams(temperature=0.8, top_k=10, seed=7,
+                           max_new_tokens=16)
+        fp = run_engine(self._build("auto"), PROMPTS[1], 16, rp=rp)
+        q8 = run_engine(self._build("int8"), PROMPTS[1], 16, rp=rp)
+        assert q8 == fp
+
+    def test_requires_ring_chunk(self):
+        spec, params = families.load_model(fixtures.tiny_llama(),
+                                           dtype=jnp.float32)
+        cfg = make_config(decode_chunk=1, kv_cache_dtype="int8")
+        with pytest.raises(ValueError, match="ring"):
+            PagedInferenceEngine(spec, params, cfg, eos_token_id=2,
+                                 num_pages=64)
+        cfg = make_config(decode_chunk=4, kv_cache_dtype="int8",
+                          stream_decode_chunk=1)
+        with pytest.raises(ValueError, match="stream_decode_chunk"):
+            PagedInferenceEngine(spec, params, cfg, eos_token_id=2,
+                                 num_pages=64)
+
+    def test_warmup_and_reset(self):
+        eng = self._build("int8", chunk=2)
+        eng.warmup()
+        assert len(eng.free_slots) == eng.num_slots
+        fp = run_engine(self._build("auto", chunk=2), PROMPTS[2], 12)
+        assert run_engine(eng, PROMPTS[2], 12) == fp
+        eng.reset()
+        assert run_engine(eng, PROMPTS[2], 12) == fp
+
+    def test_speculative_rejects_int8(self):
+        from text_generation_inference_tpu.engine.speculative import (
+            PagedSpeculativeEngine)
+
+        spec, params = families.load_model(fixtures.tiny_llama(),
+                                           dtype=jnp.float32)
+        cfg = make_config(decode_chunk=4, kv_cache_dtype="int8")
+        with pytest.raises(ValueError, match="speculative"):
+            PagedSpeculativeEngine(spec, params, cfg, eos_token_id=2,
+                                   num_pages=64)

@@ -26,13 +26,25 @@ import numpy as np
 from ..models.core import DecoderSpec
 
 
+from typing import Optional
+
+
 class PagedKVCache(NamedTuple):
     """k/v pools: [L, K, P * page_size, D] — head-major so Pallas KV blocks
-    are (1, page_size, D), satisfying TPU tiling constraints."""
+    are (1, page_size, D), satisfying TPU tiling constraints.
+
+    With dtype int8 the pool is symmetric per-row-per-head quantized (the
+    paged counterpart of the slot engine's int8 KV, models/core.py KVCache):
+    k_scale/v_scale are [L, K, P * page_size] f32 absmax/127 factors
+    (~3% extra HBM at D=128), quantization happens at the write sites
+    (prefill scatter / ring-chunk flush) and the read path folds the scale
+    into the score/value contractions."""
 
     k: jax.Array
     v: jax.Array
     block_table: jax.Array    # [S, max_pages] i32 page ids (garbage beyond use)
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @classmethod
     def create(cls, spec: DecoderSpec, num_pages: int, page_size: int,
@@ -46,12 +58,19 @@ class PagedKVCache(NamedTuple):
         # allocatable page and writing it would corrupt whichever live
         # request owns it. Reads through the sentinel clamp to the pool
         # edge and are masked by context length.
-        return cls(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
-            block_table=jnp.full((num_slots, max_pages_per_slot),
-                                 num_pages, jnp.int32),
-        )
+        bt = jnp.full((num_slots, max_pages_per_slot), num_pages, jnp.int32)
+        if jnp.dtype(dtype) == jnp.int8:
+            return cls(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                block_table=bt,
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32))
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   block_table=bt)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
 
     @property
     def page_size(self) -> int:

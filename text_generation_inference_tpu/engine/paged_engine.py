@@ -105,9 +105,13 @@ def _paged_ring_multi(spec: DecoderSpec, eos_id: int, page_size: int,
     rows = jnp.arange(s)
     chunk_start = jnp.clip(state.history_len - 1, 0, t_max - 1)
     active0 = state.active     # constant within a chunk (frees apply between)
-    pool_dtype = cache.k.dtype
+    # in-chunk ring buffers stay full precision over an int8 pool (they are
+    # tiny; quantization happens once at the chunk-end flush — same scheme
+    # as the slot engine's _decode_ring_multi)
+    buf_dtype = (params["embed_tokens"].dtype
+                 if cache.quantized else cache.k.dtype)
     kbuf = jnp.zeros((spec.num_layers, s, spec.num_kv_heads, num_steps,
-                      spec.head_dim), pool_dtype)
+                      spec.head_dim), buf_dtype)
     vbuf = jnp.zeros_like(kbuf)
     dense = (live_pages is not None
              and live_pages * page_size <= gather_ctx_max)
@@ -127,9 +131,9 @@ def _paged_ring_multi(spec: DecoderSpec, eos_id: int, page_size: int,
                 spec, params, ids, pos, cache, kbuf, vbuf, i, chunk_start,
                 page_size=page_size, mesh=mesh, live_pages=live_pages)
         kbuf = jax.lax.dynamic_update_slice(
-            kbuf, k_all[:, :, :, None, :].astype(pool_dtype), (0, 0, 0, i, 0))
+            kbuf, k_all[:, :, :, None, :].astype(buf_dtype), (0, 0, 0, i, 0))
         vbuf = jax.lax.dynamic_update_slice(
-            vbuf, v_all[:, :, :, None, :].astype(pool_dtype), (0, 0, 0, i, 0))
+            vbuf, v_all[:, :, :, None, :].astype(buf_dtype), (0, 0, 0, i, 0))
         next_ids, details = sampling.next_tokens(
             logits, state.params, state.gen_count, state.history,
             state.history_len, eos_id, history_start=state.hist_start,
@@ -208,9 +212,17 @@ class PagedInferenceEngine:
                  eos_token_id: int, num_pages: Optional[int] = None,
                  mesh=None):
         if config.kv_cache_dtype == "int8":
-            raise ValueError(
-                "kv_cache_dtype=int8 is not yet supported on the paged "
-                "engine; use the slot engine (PAGED_ATTENTION=0)")
+            # int8 KV rides the ring-chunk scheme (quantize once at the
+            # chunk flush); the per-step write paths have no scale plumbing
+            if config.decode_write_mode != "ring" or config.decode_chunk < 2:
+                raise ValueError(
+                    "kv_cache_dtype=int8 requires the ring decode path "
+                    "(decode_write_mode=ring, decode_chunk > 1)")
+            if config.stream_decode_chunk == 1:
+                raise ValueError(
+                    "kv_cache_dtype=int8 requires stream_decode_chunk != 1 "
+                    "(the single-step decode program has no int8 write "
+                    "path); use 0 or >= 2")
         if spec.sliding_window is not None \
                 and config.max_sequence_length > spec.sliding_window:
             # paged attention has no window mask yet; within the window the
@@ -237,14 +249,15 @@ class PagedInferenceEngine:
         self.page_size = config.kv_page_size
 
         dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        cache_dtype = jnp.int8 if config.kv_cache_dtype == "int8" else dtype
         if num_pages is None:
-            num_pages = self._pool_size_from_hbm(dtype)
+            num_pages = self._pool_size_from_hbm(cache_dtype)
         max_pages_per_slot = -(-self.max_seq // self.page_size)
         self.allocator = PageAllocator(num_pages, self.page_size,
                                        max_pages_per_slot)
         self.cache = PagedKVCache.create(
             spec, num_pages, self.page_size, self.num_slots,
-            max_pages_per_slot, dtype)
+            max_pages_per_slot, cache_dtype)
         self.state = EngineState.create(self.num_slots, self.max_seq)
         if mesh is not None:
             from ..parallel import sharding as shd
@@ -456,9 +469,13 @@ class PagedInferenceEngine:
 
     def _pool_size_from_hbm(self, dtype) -> int:
         hbm = device_hbm_bytes()
+        # int8 pools carry f32 scale rows: +4 bytes per (layer, kv-head,
+        # token) on top of head_dim int8 values
+        scale_b = 4 if jnp.dtype(dtype) == jnp.int8 else 0
         bytes_per_page = (self.spec.num_layers * 2 * self.page_size
-                          * self.spec.num_kv_heads * self.spec.head_dim
-                          * jnp.dtype(dtype).itemsize)
+                          * self.spec.num_kv_heads
+                          * (self.spec.head_dim * jnp.dtype(dtype).itemsize
+                             + scale_b))
         params_b = tree_bytes(self.model_params)
         bucket = self.config.prefill_buckets[-1]
         act = bucket * (self.spec.hidden_size * 6
@@ -468,8 +485,9 @@ class PagedInferenceEngine:
         # to paged_gather_ctx_max tokens per slot (k + v) — reserve it
         gather_rows = min(self.config.paged_gather_ctx_max, self.max_seq)
         gather_b = (self.spec.num_layers * 2 * self.num_slots * gather_rows
-                    * self.spec.num_kv_heads * self.spec.head_dim
-                    * jnp.dtype(dtype).itemsize)
+                    * self.spec.num_kv_heads
+                    * (self.spec.head_dim * jnp.dtype(dtype).itemsize
+                       + scale_b))
         usable = int(hbm * (1 - self.config.batch_safety_margin)) \
             - params_b - act - gather_b
         pages = max(usable // bytes_per_page,

@@ -316,6 +316,11 @@ class PagedSpeculativeEngine(PagedEngineBase):
                  speculator_params: Optional[dict] = None,
                  n_predict: int = 3,
                  max_spec_batch: Optional[int] = None):
+        if config.kv_cache_dtype == "int8":
+            raise ValueError(
+                "speculative decoding does not support kv_cache_dtype=int8 "
+                "(the verify-chunk forward has no quantized write path); "
+                "unset SPECULATOR or use kv_cache_dtype=auto")
         super().__init__(spec, params, config, eos_token_id,
                          num_pages=num_pages, mesh=mesh)
         self._init_speculator(speculator_spec, speculator_params, n_predict,

@@ -42,18 +42,31 @@ from .core import (
 
 
 def _partial_attention_stacked(qg, kpools, vpools, bt, ctx, li, page_size,
-                               spec, mesh, slopes_kg=None, use_kernel=True):
+                               spec, mesh, slopes_kg=None, use_kernel=True,
+                               ks_pools=None, vs_pools=None):
     """_partial_attention over layer-STACKED pools [L, K, POOL_R, D] with a
     traced layer index `li` — the per-layer decode scan closes over the
     whole pool and the Pallas kernel dereferences the layer via scalar
     prefetch, so no per-layer pool slice is ever materialized (a scan-xs
     slice feeding a custom call costs ~3x the KV traffic; see
-    _kernel_all_heads_stats_stacked)."""
-    if not use_kernel:
+    _kernel_all_heads_stats_stacked).
+
+    int8 pools (ks_pools/vs_pools given) take the gather-based reference
+    path with scale folding — the Pallas kernel carries no scale operands
+    (the int8 long-context kernel regime is a known perf follow-up;
+    correctness first)."""
+    if not use_kernel or ks_pools is not None:
         kp = jax.lax.dynamic_index_in_dim(kpools, li, 0, keepdims=False)
         vp = jax.lax.dynamic_index_in_dim(vpools, li, 0, keepdims=False)
+        ksp = vsp = None
+        if ks_pools is not None:
+            ksp = jax.lax.dynamic_index_in_dim(ks_pools, li, 0,
+                                               keepdims=False)
+            vsp = jax.lax.dynamic_index_in_dim(vs_pools, li, 0,
+                                               keepdims=False)
         return paged_decode_attention_partial_reference(
-            qg, kp, vp, bt, ctx, page_size, alibi_slopes_kg=slopes_kg)
+            qg, kp, vp, bt, ctx, page_size, alibi_slopes_kg=slopes_kg,
+            k_scale_pool=ksp, v_scale_pool=vsp)
     li = jnp.asarray(li, jnp.int32).reshape(1)
     if mesh is not None and mesh.shape.get("model", 1) > 1 \
             and spec.num_kv_heads % mesh.shape["model"] == 0:
@@ -196,6 +209,15 @@ def gather_dense_view(cache: PagedKVCache, live_pages: int,
     # pool [L, K, POOL_R, D] --take axis 2--> [L, K, S, R, D] -> [L,S,K,R,D]
     k = jnp.swapaxes(jnp.take(cache.k, rows, axis=2, mode="clip"), 1, 2)
     v = jnp.swapaxes(jnp.take(cache.v, rows, axis=2, mode="clip"), 1, 2)
+    if cache.quantized:
+        # scale pools [L, K, POOL_R] -> [L, S, K, R]: the dense view is a
+        # quantized slot-engine cache, so decode_ring_step's int8 read path
+        # (scale folded into scores/probs) applies unchanged
+        ks = jnp.swapaxes(jnp.take(cache.k_scale, rows, axis=2,
+                                   mode="clip"), 1, 2)
+        vs = jnp.swapaxes(jnp.take(cache.v_scale, rows, axis=2,
+                                   mode="clip"), 1, 2)
+        return KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
     return KVCache(k=k, v=v)
 
 
@@ -270,7 +292,8 @@ def decode_paged_ring_step(
         acc1, m1, l1 = _partial_attention_stacked(
             qg, cache.k, cache.v, bt, chunk_start, li, page_size, spec,
             mesh, slopes_kg=(slopes_kg if spec.pos == "alibi" else None),
-            use_kernel=use_kernel)
+            use_kernel=use_kernel,
+            ks_pools=cache.k_scale, vs_pools=cache.v_scale)
 
         # part 2: in-chunk ring + current token
         bscores = jnp.einsum("skgd,skcd->skgc", qg, kb,
@@ -338,6 +361,23 @@ def paged_ring_flush(cache: PagedKVCache, kbuf: jax.Array, vbuf: jax.Array,
     rows = (bt[jnp.arange(s)[None, :], page_idx] * page_size
             + wpos % page_size)                                # [C, S]
     rows = jnp.where(valid, rows, pool_rows)                   # OOB -> drop
+    if cache.quantized:
+        # quantize once at the chunk flush (the ring buffers stay full
+        # precision in-chunk — same scheme as the slot engine's ring_flush)
+        from .core import quantize_kv
+
+        kq, ks = quantize_kv(kbuf)    # [L,S,K,C,D] i8, [L,S,K,C] f32
+        vq, vs = quantize_kv(vbuf)
+        new_k = cache.k.at[:, :, rows, :].set(
+            kq.transpose(0, 2, 3, 1, 4), mode="drop")
+        new_v = cache.v.at[:, :, rows, :].set(
+            vq.transpose(0, 2, 3, 1, 4), mode="drop")
+        new_ks = cache.k_scale.at[:, :, rows].set(
+            ks.transpose(0, 2, 3, 1), mode="drop")
+        new_vs = cache.v_scale.at[:, :, rows].set(
+            vs.transpose(0, 2, 3, 1), mode="drop")
+        return cache._replace(k=new_k, v=new_v, k_scale=new_ks,
+                              v_scale=new_vs)
     # pool [L, K, R, D]; advanced indices (C, S) at axis 2 stay in place:
     # updated region is [L, K, C, S, D]
     new_k = cache.k.at[:, :, rows, :].set(
@@ -448,8 +488,10 @@ def prefill_paged(
 
     from ..ops import attention as attn_ops
 
+    quant = cache.quantized
+
     def layer(x, inputs):
-        lp, kp, vp = inputs
+        lp, kp, vp = inputs[0], inputs[1], inputs[2]
         h = _norm(spec, lp["ln1"], x)
         q, k, v = _qkv(spec, lp, h)
         if cos is not None:
@@ -472,16 +514,35 @@ def prefill_paged(
 
         k_rows = k.reshape(-1, spec.num_kv_heads, spec.head_dim)
         v_rows = v.reshape(-1, spec.num_kv_heads, spec.head_dim)
+        if quant:
+            ksp, vsp = inputs[3], inputs[4]
+            from .core import quantize_kv
+
+            kq, ks = quantize_kv(k_rows)       # [NT, K, D] i8, [NT, K] f32
+            vq, vs = quantize_kv(v_rows)
+            kp = kp.at[:, flat].set(kq.transpose(1, 0, 2), mode="drop")
+            vp = vp.at[:, flat].set(vq.transpose(1, 0, 2), mode="drop")
+            ksp = ksp.at[:, flat].set(ks.T, mode="drop")
+            vsp = vsp.at[:, flat].set(vs.T, mode="drop")
+            return x, (kp, vp, ksp, vsp)
         kp = kp.at[:, flat].set(
             k_rows.transpose(1, 0, 2).astype(kp.dtype), mode="drop")
         vp = vp.at[:, flat].set(
             v_rows.transpose(1, 0, 2).astype(vp.dtype), mode="drop")
         return x, (kp, vp)
 
-    x, (new_k, new_v) = _layer_scan(layer, x, params["layers"],
-                                    (cache.k, cache.v))
+    xs = ((cache.k, cache.v, cache.k_scale, cache.v_scale) if quant
+          else (cache.k, cache.v))
+    x, pools = _layer_scan(layer, x, params["layers"], xs)
+    if quant:
+        new_k, new_v, new_ks, new_vs = pools
+        cache = cache._replace(k=new_k, v=new_v, k_scale=new_ks,
+                               v_scale=new_vs)
+    else:
+        new_k, new_v = pools
+        cache = cache._replace(k=new_k, v=new_v)
     x = _norm(spec, params["final_norm"], x)
     logits = _unembed(spec, params, x)
     if return_hidden:
-        return logits, x, cache._replace(k=new_k, v=new_v)
-    return logits, cache._replace(k=new_k, v=new_v)
+        return logits, x, cache
+    return logits, cache

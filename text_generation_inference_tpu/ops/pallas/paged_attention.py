@@ -352,10 +352,18 @@ def paged_decode_attention_partial_stacked(q: jax.Array, k_pools: jax.Array,
 
 def paged_decode_attention_partial_reference(q, k_pool, v_pool, block_table,
                                              ctx, page_size,
-                                             alibi_slopes_kg=None):
+                                             alibi_slopes_kg=None,
+                                             k_scale_pool=None,
+                                             v_scale_pool=None):
     """XLA gather-based equivalent of paged_decode_attention_partial.
     Gathered key index t IS the absolute position (pages are gathered in
-    block-table order), so ALiBi bias is slopes * t when requested."""
+    block-table order), so ALiBi bias is slopes * t when requested.
+
+    With int8 pools, k_scale_pool/v_scale_pool ([K, POOL_R] f32) carry the
+    per-row-per-head quantization factors: the k scale factors out of the
+    head_dim contraction (applied to scores), the v scale folds into the
+    probabilities before the value contraction — same folding as the slot
+    engine's int8 read path (models/core.py decode_ring_step)."""
     s, kh, g, d = q.shape
     rows = (block_table[:, :, None] * page_size
             + jnp.arange(page_size)[None, None, :]).reshape(s, -1)
@@ -365,6 +373,9 @@ def paged_decode_attention_partial_reference(q, k_pool, v_pool, block_table,
     scores = jnp.einsum("skgd,kstd->skgt", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
     t = rows.shape[1]
+    if k_scale_pool is not None:
+        ks = jnp.take(k_scale_pool, rows, axis=1, mode="clip")  # [K, S, T']
+        scores = scores * jnp.swapaxes(ks, 0, 1)[:, :, None, :]
     if alibi_slopes_kg is not None:
         scores = scores + (alibi_slopes_kg[None, :, :, None]
                            * jnp.arange(t, dtype=jnp.float32)[None, None, None])
@@ -375,7 +386,12 @@ def paged_decode_attention_partial_reference(q, k_pool, v_pool, block_table,
     p = jnp.exp(scores - m_safe[..., None])
     p = jnp.where(scores == NEG_INF, 0.0, p)
     l = jnp.sum(p, axis=-1)
-    acc = jnp.einsum("skgt,kstd->skgd", p, v.astype(jnp.float32))
+    if v_scale_pool is not None:
+        vs = jnp.take(v_scale_pool, rows, axis=1, mode="clip")  # [K, S, T']
+        p_v = p * jnp.swapaxes(vs, 0, 1)[:, :, None, :]
+    else:
+        p_v = p
+    acc = jnp.einsum("skgt,kstd->skgd", p_v, v.astype(jnp.float32))
     return acc, m, l
 
 

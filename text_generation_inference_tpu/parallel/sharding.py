@@ -279,13 +279,20 @@ def paged_pool_spec(spec: DecoderSpec, mesh: Mesh) -> P:
 
 
 def shard_paged_cache(cache, spec: DecoderSpec, mesh: Mesh):
-    """Shard a PagedKVCache: pool on kv heads, block table replicated."""
-    pool = NamedSharding(mesh, paged_pool_spec(spec, mesh))
+    """Shard a PagedKVCache: pool on kv heads, block table replicated;
+    int8 scale pools [L, K, R] shard on the same kv-head axis."""
+    ps = paged_pool_spec(spec, mesh)
+    pool = NamedSharding(mesh, ps)
+    scale = NamedSharding(mesh, P(*ps[:-1]))
     repl = NamedSharding(mesh, P(None, None))
     return cache._replace(
         k=jax.device_put(cache.k, pool),
         v=jax.device_put(cache.v, pool),
-        block_table=jax.device_put(cache.block_table, repl))
+        block_table=jax.device_put(cache.block_table, repl),
+        k_scale=(None if cache.k_scale is None
+                 else jax.device_put(cache.k_scale, scale)),
+        v_scale=(None if cache.v_scale is None
+                 else jax.device_put(cache.v_scale, scale)))
 
 
 def replicate(tree, mesh: Mesh):
