@@ -10,6 +10,7 @@ For each family we check:
 import numpy as np
 import pytest
 import torch
+from pathlib import Path
 
 import jax.numpy as jnp
 
@@ -156,3 +157,56 @@ class TestRealCheckpointShapes:
             jnp.asarray([12], jnp.int32), jnp.asarray([0], jnp.int32), cache)
         np.testing.assert_allclose(np.asarray(got)[0, :12], ref[0],
                                    rtol=RTOL, atol=RTOL)
+
+
+class TestFallbackFamily:
+    """Structural fallback for unknown model_types (reference serves ANY HF
+    model via the generic CausalLM, models/__init__.py:48-136): a renamed
+    llama clone loads through the llama family's loader, FALLBACK_FAMILY
+    controls the behavior."""
+
+    @pytest.fixture()
+    def clone_dir(self, tmp_path):
+        import json
+        import shutil
+
+        src = Path(fixtures.tiny_llama())
+        dst = tmp_path / "llama_clone"
+        shutil.copytree(src, dst)
+        cfg = json.loads((dst / "config.json").read_text())
+        cfg["model_type"] = "shiny_new_llama"
+        (dst / "config.json").write_text(json.dumps(cfg))
+        return str(dst)
+
+    def test_auto_fallback_loads_and_generates(self, clone_dir, monkeypatch):
+        monkeypatch.delenv("FALLBACK_FAMILY", raising=False)
+        spec, params = families.load_model(clone_dir, dtype=jnp.float32)
+        ref_spec, ref_params = families.load_model(fixtures.tiny_llama(),
+                                                   dtype=jnp.float32)
+        assert spec == ref_spec
+        rng = np.random.default_rng(0)
+        ids = rng.integers(1, spec.vocab_size, size=(1, 8)).astype(np.int32)
+        cache = core.KVCache.create(spec, 1, 16, jnp.float32)
+        got, _ = core.prefill(spec, params, jnp.asarray(ids),
+                              jnp.asarray([8], jnp.int32),
+                              jnp.asarray([0], jnp.int32), cache)
+        cache2 = core.KVCache.create(spec, 1, 16, jnp.float32)
+        want, _ = core.prefill(ref_spec, ref_params, jnp.asarray(ids),
+                               jnp.asarray([8], jnp.int32),
+                               jnp.asarray([0], jnp.int32), cache2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_forced_family(self, clone_dir, monkeypatch):
+        monkeypatch.setenv("FALLBACK_FAMILY", "llama")
+        spec, _ = families.load_model(clone_dir, dtype=jnp.float32)
+        assert spec.pos == "rope"
+
+    def test_off_raises_support_matrix(self, clone_dir, monkeypatch):
+        monkeypatch.setenv("FALLBACK_FAMILY", "off")
+        with pytest.raises(ValueError, match="supported"):
+            families.load_model(clone_dir, dtype=jnp.float32)
+
+    def test_unknown_forced_family_rejected(self, clone_dir, monkeypatch):
+        monkeypatch.setenv("FALLBACK_FAMILY", "not_a_family")
+        with pytest.raises(ValueError, match="not a known family"):
+            families.load_model(clone_dir, dtype=jnp.float32)

@@ -5,6 +5,8 @@ speculation outside greedy/no-penalty cases): emitted tokens are identical
 to plain decoding for ANY speculator quality.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -283,3 +285,107 @@ class TestPagedSpeculative:
         tp, engine = run_paged_spec(spec, params, PROMPT, 10, mesh=mesh)
         assert tp == single
         assert engine.spec_steps > 0
+
+
+class TestSpeculatorCheckpointLoading:
+    """fms_extras-format MLPSpeculator checkpoints reach the serving path
+    (round-4 gap: load_speculator existed but nothing called it).
+    Reference: paged_causal_lm.py:295-306 consumes the same weights."""
+
+    def _write_speculator(self, tmp_path, model_spec, n_predict=2,
+                          inner_dim=32):
+        import json
+
+        from safetensors.numpy import save_file
+
+        rng = np.random.default_rng(3)
+        d, v = model_spec.hidden_size, model_spec.vocab_size
+        tensors = {}
+        for i in range(n_predict):
+            in_dim = d if i == 0 else inner_dim
+            tensors[f"emb.{i}.weight"] = rng.normal(
+                scale=0.02, size=(v, inner_dim)).astype(np.float32)
+            tensors[f"proj.{i}.weight"] = rng.normal(
+                scale=0.02, size=(inner_dim, in_dim)).astype(np.float32)
+            tensors[f"head.{i}.weight"] = rng.normal(
+                scale=0.02, size=(v, inner_dim)).astype(np.float32)
+            tensors[f"ln.{i}.weight"] = np.ones(inner_dim, np.float32)
+            tensors[f"ln.{i}.bias"] = np.zeros(inner_dim, np.float32)
+        out = tmp_path / "speculator"
+        out.mkdir()
+        save_file(tensors, out / "model.safetensors")
+        (out / "config.json").write_text(json.dumps({
+            "vocab_size": v, "model_dim": d, "inner_dim": inner_dim,
+            "n_predict": n_predict}))
+        return str(out)
+
+    def test_load_speculator_roundtrip(self, llama, tmp_path):
+        from text_generation_inference_tpu.models.speculator import (
+            load_speculator)
+
+        spec, _ = llama
+        path = self._write_speculator(tmp_path, spec)
+        sspec, sparams = load_speculator(path, dtype=jnp.float32)
+        assert sspec.n_predict == 2
+        assert sspec.model_dim == spec.hidden_size
+        assert sparams["w_state"][0].shape == (spec.hidden_size, 32)
+        assert sparams["head"][0].shape == (32, spec.vocab_size)
+
+    def test_build_engine_uses_speculator_path(self, llama, tmp_path,
+                                               monkeypatch):
+        from text_generation_inference_tpu.config import ServingConfig
+        from text_generation_inference_tpu.engine.speculative import (
+            PagedSpeculativeEngine)
+        from text_generation_inference_tpu.server.main import build_engine
+
+        served = fixtures.tokenized_model_dir()
+        spec, _ = families.load_model(served, dtype=jnp.float32)
+        path = self._write_speculator(tmp_path, spec)
+        monkeypatch.setenv("SPECULATOR_PATH", path)
+        monkeypatch.setenv("TENSOR_PARALLEL", "1")
+        cfg = ServingConfig(
+            model_name=served,
+            max_sequence_length=64, max_new_tokens=32, max_batch_slots=2,
+            prefill_buckets=[8, 16], decode_chunk=2, dtype_str="float32",
+            kv_page_size=8)
+        cfg.validate()
+        engine, _, kind = build_engine(cfg)
+        assert kind == "decoder"
+        assert isinstance(engine, PagedSpeculativeEngine)
+        assert engine.sspec.n_predict == 2
+        assert engine.sspec.inner_dim == 32
+        # generation still works end-to-end with the loaded speculator
+        from text_generation_inference_tpu.engine.engine import RequestParams
+
+        s = engine.acquire_slot()
+        res = engine.prefill([s], [[5, 9, 23]],
+                             [RequestParams(max_new_tokens=8)])
+        toks = [int(res.first_token.next_ids[0])]
+        for _ in range(3):
+            for step in engine.decode_steps():
+                toks.append(int(step.next_ids[s]))
+        assert len(toks) > 3
+
+    def test_mismatched_speculator_rejected(self, llama, tmp_path,
+                                            monkeypatch):
+        import json
+
+        from text_generation_inference_tpu.config import ServingConfig
+        from text_generation_inference_tpu.server.main import build_engine
+
+        served = fixtures.tokenized_model_dir()
+        spec, _ = families.load_model(served, dtype=jnp.float32)
+        path = self._write_speculator(tmp_path, spec)
+        cfgf = Path(path) / "config.json"
+        c = json.loads(cfgf.read_text())
+        c["model_dim"] = spec.hidden_size * 2
+        cfgf.write_text(json.dumps(c))
+        monkeypatch.setenv("SPECULATOR_PATH", path)
+        monkeypatch.setenv("TENSOR_PARALLEL", "1")
+        cfg = ServingConfig(
+            model_name=served,
+            max_sequence_length=64, max_new_tokens=32, max_batch_slots=2,
+            prefill_buckets=[8, 16], decode_chunk=2, dtype_str="float32")
+        cfg.validate()
+        with pytest.raises(ValueError, match="does not match"):
+            build_engine(cfg)

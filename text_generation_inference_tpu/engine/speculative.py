@@ -264,8 +264,9 @@ class SpeculativeEngine(InferenceEngine):
     # small bursts (1..n_predict+1 tokens), so streaming latency is fine
     supports_chunk_override = False
 
-    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
-        del want_details  # always computed on this engine (for now)
+    def decode_steps(self, want_details: bool = True,
+                     chunk=None) -> list[StepResult]:
+        del want_details, chunk  # always computed / burst already small
         """One speculative step → 1..K+1 emitted tokens per slot, exposed as
         a list of per-position StepResults with a validity mask applied via
         `emitted_mask` (rows beyond a slot's n_emit carry garbage; the
@@ -420,10 +421,12 @@ class PagedSpeculativeEngine(PagedEngineBase):
     # small bursts (1..n_predict+1 tokens), so streaming latency is fine
     supports_chunk_override = False
 
-    def decode_steps(self, want_details: bool = True) -> list[StepResult]:
+    def decode_steps(self, want_details: bool = True,
+                     chunk=None) -> list[StepResult]:
         if not self._should_speculate():
             self.fallback_steps += 1
-            return super().decode_steps(want_details=want_details)
+            return super().decode_steps(want_details=want_details,
+                                        chunk=chunk)
         self.spec_steps += 1
         self.last_n_emitted = None
         self._apply_pending_frees()

@@ -964,6 +964,81 @@ def _log_outlier_selection(params: dict) -> None:
                 np.sort(idx[0])[:16].tolist())
 
 
+# Signature tensors per family: if a checkpoint carries this tensor, its
+# layer naming follows that family's convention. Ordered by how common the
+# convention is among fine-tunes/clones. Used only for unknown model_types.
+_FALLBACK_SIGNATURES = [
+    ("llama", "model.layers.0.self_attn.q_proj.weight"),
+    ("gpt_neox", "gpt_neox.layers.0.attention.query_key_value.weight"),
+    ("gptj", "transformer.h.0.attn.q_proj.weight"),
+    ("gpt_bigcode", "transformer.h.0.attn.c_attn.weight"),
+    ("gpt2", "transformer.h.0.attn.c_attn.weight"),
+    ("opt", "model.decoder.layers.0.self_attn.q_proj.weight"),
+    ("bloom", "transformer.h.0.self_attention.query_key_value.weight"),
+    ("falcon", "transformer.h.0.self_attention.query_key_value.weight"),
+    ("mpt", "transformer.blocks.0.attn.Wqkv.weight"),
+]
+
+
+def _load_fallback(model_dir: str, config: dict, model_type: str | None,
+                   dtype) -> tuple[DecoderSpec, dict]:
+    """Structural fallback for model_types outside FAMILIES.
+
+    The reference serves ANY HF model by falling back to the generic
+    CausalLM over plain transformers (reference:
+    models/__init__.py:48-136, inference_engine/hf_transformers.py:43-64).
+    The TPU equivalent: sniff which family's tensor-naming convention the
+    checkpoint follows (signature tensor present + spec builds from the
+    config attributes) and serve it through that family's loader — most
+    unknown model_types are renamed clones of a known architecture.
+
+    FALLBACK_FAMILY=auto (default) tries signatures in order;
+    =<family> forces one family's loader; =off restores the hard error.
+    """
+    import logging
+    import os
+
+    logger = logging.getLogger(__name__)
+    mode = os.getenv("FALLBACK_FAMILY", "auto").strip()
+    matrix = (f"unsupported model_type {model_type!r}; supported: "
+              f"{sorted(FAMILIES)}. Unknown types are served via the "
+              "structural fallback (FALLBACK_FAMILY=auto|<family>; "
+              "currently: " + mode + ")")
+    if mode.lower() in ("off", "0", "false"):
+        raise ValueError(matrix)
+    weights = Weights(model_dir)
+    if mode.lower() != "auto":
+        if mode not in FAMILIES:
+            raise ValueError(
+                f"FALLBACK_FAMILY={mode!r} is not a known family; "
+                f"choose one of {sorted(FAMILIES)} or auto/off")
+        candidates = [mode]
+    else:
+        seen = set()
+        candidates = []
+        for fam, sig in _FALLBACK_SIGNATURES:
+            if fam not in seen and weights.has(sig):
+                seen.add(fam)
+                candidates.append(fam)
+    errors = []
+    for fam in candidates:
+        spec_fn, load_fn = FAMILIES[fam]
+        try:
+            spec = spec_fn(config)
+            params = load_fn(weights, spec, dtype)
+        except Exception as e:  # noqa: BLE001 - try the next convention
+            errors.append(f"{fam}: {type(e).__name__}: {e}")
+            continue
+        logger.warning(
+            "model_type %r is not natively supported; serving via the %r "
+            "family's structural fallback (set FALLBACK_FAMILY=off to "
+            "require native support)", model_type, fam)
+        return spec, params
+    raise ValueError(
+        matrix + (f"; fallback attempts failed: {errors}" if errors
+                  else "; no family signature tensor matched the checkpoint"))
+
+
 def load_model(model_dir: str, dtype=jnp.bfloat16,
                quantize: str | None = None) -> tuple[DecoderSpec, dict]:
     """Load (spec, params) for any supported decoder-only HF checkpoint.
@@ -975,13 +1050,13 @@ def load_model(model_dir: str, dtype=jnp.bfloat16,
     """
     config = load_hf_config(model_dir)
     model_type = config.get("model_type")
-    if model_type not in FAMILIES:
-        raise ValueError(
-            f"unsupported model_type {model_type!r}; supported: {sorted(FAMILIES)}")
-    spec_fn, load_fn = FAMILIES[model_type]
-    spec = spec_fn(config)
-    weights = Weights(model_dir)
-    params = load_fn(weights, spec, dtype)
+    if model_type in FAMILIES:
+        spec_fn, load_fn = FAMILIES[model_type]
+        spec = spec_fn(config)
+        weights = Weights(model_dir)
+        params = load_fn(weights, spec, dtype)
+    else:
+        spec, params = _load_fallback(model_dir, config, model_type, dtype)
     if quantize == "int8":
         from ..ops.quant.int8 import quantize_layer_params
 

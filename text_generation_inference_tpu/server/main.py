@@ -100,8 +100,36 @@ def build_engine(config: ServingConfig):
     # on TinyLlama/v5e) while admitting by exact page need instead of a
     # full max_seq KV reservation per slot. PAGED_ATTENTION=0 opts out.
     paged = os.getenv("PAGED_ATTENTION", "1").lower() in ("1", "true")
-    if os.getenv("SPECULATOR", "").lower() in ("1", "true"):
+    spec_path = os.getenv("SPECULATOR_PATH")
+    if spec_path or os.getenv("SPECULATOR", "").lower() in ("1", "true"):
         n_predict = int(os.getenv("SPECULATOR_N_PREDICT", "3"))
+        # SPECULATOR_PATH loads a trained fms_extras-format MLPSpeculator —
+        # the weights the reference consumes (reference:
+        # paged_causal_lm.py:295-306). Bare SPECULATOR=1 without a path
+        # builds a random-init speculator, which by the engine's exactness
+        # invariant can only slow serving — warn loudly.
+        sspec = sparams = None
+        if spec_path:
+            from ..models.speculator import load_speculator
+
+            sspec, sparams = load_speculator(spec_path, dtype=dtype)
+            if sspec.model_dim != spec.hidden_size \
+                    or sspec.vocab_size != spec.vocab_size:
+                raise ValueError(
+                    f"speculator at {spec_path} does not match the model: "
+                    f"model_dim {sspec.model_dim} vs hidden "
+                    f"{spec.hidden_size}, vocab {sspec.vocab_size} vs "
+                    f"{spec.vocab_size}")
+            n_predict = sspec.n_predict
+            logger.info("loaded speculator from %s (n_predict=%d, "
+                        "inner_dim=%d)", spec_path, n_predict,
+                        sspec.inner_dim)
+        else:
+            logger.warning(
+                "SPECULATOR=1 without SPECULATOR_PATH builds a RANDOM-INIT "
+                "speculator: output stays exact but acceptance will be "
+                "~zero, making serving strictly slower. Point "
+                "SPECULATOR_PATH at a trained MLPSpeculator checkpoint.")
         if paged:
             # the reference's configuration: speculation on the paged path,
             # gated by SPECULATOR_MAX_BATCH_SIZE / pool pressure
@@ -109,6 +137,7 @@ def build_engine(config: ServingConfig):
 
             engine = PagedSpeculativeEngine(
                 spec, params, config, eos_token_id=eos, mesh=mesh,
+                speculator_spec=sspec, speculator_params=sparams,
                 n_predict=n_predict)
         else:
             if mesh is not None:
@@ -119,7 +148,9 @@ def build_engine(config: ServingConfig):
             from ..engine.speculative import SpeculativeEngine
 
             engine = SpeculativeEngine(
-                spec, params, config, eos_token_id=eos, n_predict=n_predict)
+                spec, params, config, eos_token_id=eos,
+                speculator_spec=sspec, speculator_params=sparams,
+                n_predict=n_predict)
     elif paged:
         from ..engine.paged_engine import PagedInferenceEngine
 
