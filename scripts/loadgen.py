@@ -66,12 +66,84 @@ class LoadResult:
     time_per_token_ms: float = float("nan")
     ttft_samples: list = field(default_factory=list, repr=False)
 
+    breakdown: dict = field(default_factory=dict, repr=False)
+
     def to_json(self) -> dict:
         d = {k: (round(v, 2) if isinstance(v, float) else v)
-             for k, v in self.__dict__.items() if k != "ttft_samples"}
+             for k, v in self.__dict__.items()
+             if k not in ("ttft_samples", "breakdown")}
+        if self.breakdown:
+            d["breakdown_ms"] = {k: round(v, 2)
+                                 for k, v in self.breakdown.items()}
         d["metric"] = "p50_ttft_ms_at_qps"
         d["value"] = d["ttft_p50_ms"]
         return d
+
+
+# ---------------------------------------------------------------------------
+# TTFT decomposition via /metrics deltas
+# ---------------------------------------------------------------------------
+
+_BREAKDOWN_SERIES = {
+    # metric name -> breakdown key (mean ms per event over the run window)
+    "tgi_request_validation_duration": "validation",
+    "tgi_request_queue_duration": "queue",
+    "tgi_batch_inference_duration_prefill": "prefill_dispatch",
+    "tgi_batch_inference_forward_duration_prefill": "prefill_forward",
+    "tgi_batch_inference_duration_next_token": "decode_chunk",
+    "tgi_batch_inference_forward_duration_next_token": "decode_chunk_forward",
+    "tgi_batch_inference_tokproc_duration_next_token": "tokproc",
+}
+
+
+def _scrape_metrics(metrics_url: str) -> dict:
+    """Histogram (sum, count) pairs for the breakdown series."""
+    import urllib.request
+
+    out = {}
+    try:
+        text = urllib.request.urlopen(metrics_url, timeout=5).read().decode()
+    except Exception:
+        return out
+    sums: dict[str, float] = {}
+    counts: dict[str, float] = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        try:
+            name_labels, value = line.rsplit(" ", 1)
+        except ValueError:
+            continue
+        name, _, labels = name_labels.partition("{")
+        labels = labels.rstrip("}")
+        method = ""
+        if 'method="' in labels:
+            method = "_" + labels.split('method="')[1].split('"')[0]
+        key = name.replace("_sum", "").replace("_count", "") + method
+        if name.endswith("_sum"):
+            sums[key] = float(value)
+        elif name.endswith("_count"):
+            counts[key] = float(value)
+    for key in set(sums) | set(counts):
+        out[key] = (sums.get(key, 0.0), counts.get(key, 0.0))
+    return out
+
+
+def metrics_breakdown(before: dict, after: dict) -> dict:
+    """Mean ms per event for each breakdown series over the run window.
+
+    Explains WHERE the p50 TTFT goes (the reference logs the same split
+    per request: validation/queue/inference, grpc_server.rs:442-514):
+      validation + queue + prefill_dispatch + ~stream-chunk wait ≈ TTFT.
+    decode_chunk is the full chunk latency a mid-decode arrival queues
+    behind; decode_chunk_forward is its pure device time."""
+    out = {}
+    for series, key in _BREAKDOWN_SERIES.items():
+        s0, c0 = before.get(series, (0.0, 0.0))
+        s1, c1 = after.get(series, (0.0, 0.0))
+        if c1 > c0:
+            out[key] = (s1 - s0) / (c1 - c0) * 1e3
+    return out
 
 
 async def _one_request(channel, prompt: str, max_new: int, stream: bool,
@@ -125,12 +197,16 @@ async def _one_request(channel, prompt: str, max_new: int, stream: bool,
 async def run_load(target: str, qps: float, duration_s: float,
                    max_new: int = 32, stream_fraction: float = 0.5,
                    prompt_words: int = 24, seed: int = 0,
-                   timeout: float = 120.0) -> LoadResult:
+                   timeout: float = 120.0,
+                   metrics_url: str | None = None) -> LoadResult:
     """Open-loop Poisson arrivals at `qps` for `duration_s`; waits for all
-    in-flight requests, returns aggregated LoadResult."""
+    in-flight requests, returns aggregated LoadResult. With `metrics_url`
+    (the server's /metrics endpoint) the result carries a per-component
+    TTFT breakdown from histogram deltas."""
     rng = random.Random(seed)
     res = LoadResult(qps_target=qps)
     lock = asyncio.Lock()
+    m_before = _scrape_metrics(metrics_url) if metrics_url else {}
     async with grpc.aio.insecure_channel(target) as channel:
         tasks = []
         t_start = time.perf_counter()
@@ -157,6 +233,9 @@ async def run_load(target: str, qps: float, duration_s: float,
     res.ttft_p99_ms = _percentile(res.ttft_samples, 99)
     res.time_per_token_ms = (sum(tpt) / len(tpt)) if tpt else float("nan")
     res.output_tok_per_s = res.output_tokens / elapsed if elapsed > 0 else 0.0
+    if metrics_url:
+        res.breakdown = metrics_breakdown(m_before,
+                                          _scrape_metrics(metrics_url))
     return res
 
 
@@ -170,6 +249,9 @@ def main() -> None:
     ap.add_argument("--stream-fraction", type=float, default=0.5)
     ap.add_argument("--prompt-words", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--metrics-url", default=None,
+                    help="server /metrics endpoint (e.g. "
+                    "http://127.0.0.1:3000/metrics) for the TTFT breakdown")
     args = ap.parse_args()
     qps_points = args.qps or [1.0, 2.0, 4.0]
     for qps in qps_points:
@@ -178,12 +260,18 @@ def main() -> None:
         res = asyncio.run(run_load(
             args.target, qps, args.duration, max_new=args.max_new,
             stream_fraction=args.stream_fraction,
-            prompt_words=args.prompt_words, seed=args.seed))
+            prompt_words=args.prompt_words, seed=args.seed,
+            metrics_url=args.metrics_url))
         print(json.dumps(res.to_json()), flush=True)
         print(f"loadgen: qps={qps} -> p50 TTFT {res.ttft_p50_ms:.0f}ms "
               f"p99 {res.ttft_p99_ms:.0f}ms, p50 latency "
               f"{res.latency_p50_ms:.0f}ms, {res.output_tok_per_s:.0f} tok/s, "
               f"{res.errors} errors", file=sys.stderr, flush=True)
+        if res.breakdown:
+            print(f"loadgen: breakdown(ms/event) " +
+                  " ".join(f"{k}={v:.1f}"
+                           for k, v in sorted(res.breakdown.items())),
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
