@@ -215,6 +215,32 @@ async def async_serve(config: ServingConfig) -> None:
                 None, multihost.follower_loop, engine, sub)
             return
 
+    if _os.getenv("INTERNAL_API", "").lower() in ("1", "true"):
+        # serve the reference's internal router↔shard surface INSTEAD of
+        # fmaas: this process then acts as a drop-in shard for the
+        # reference's Rust router (see server/internal_server.py)
+        from .internal_server import (InternalTextGenerationService,
+                                      serve_internal_grpc)
+
+        servicer = InternalTextGenerationService(
+            engine, tokenizer, config, prompt_cache=prompt_cache,
+            model_kind=model_kind)
+        grpc_server = await serve_internal_grpc(servicer, config)
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except (NotImplementedError, RuntimeError):
+                pass
+        logger.info("serving generate.v1 internal API for model=%s",
+                    config.model_name)
+        await stop.wait()
+        await grpc_server.stop(grace=5.0)
+        if hasattr(engine, "shutdown"):
+            engine.shutdown()
+        return
+
     batcher = Batcher(engine, tokenizer, config, prompt_cache=prompt_cache)
     batcher.start()
 
