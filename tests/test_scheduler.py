@@ -384,8 +384,17 @@ class TestStreamAwareChunking:
                 if ev[0] == "final":
                     break
             streaming_chunks = list(eng.chunk_calls)
-            assert streaming_chunks and all(c == 2 for c in streaming_chunks)
+            # every dispatch made WHILE the streaming request was active
+            # used the small chunk; a trailing dispatch issued right as it
+            # finished may legitimately see no streaming request (None)
+            assert streaming_chunks and streaming_chunks[0] == 2
+            assert all(c == 2 for c in streaming_chunks if c is not None)
 
+            # quiesce: a decode dispatched while the streaming request was
+            # still active may land after the clear and pollute the
+            # unary-phase assertion (pre-existing flake)
+            while b._pending_decode is not None or b.active:
+                await asyncio.sleep(0.005)
             eng.chunk_calls.clear()
             ureq = make_request([12], max_new=9)
             b.submit(ureq)

@@ -19,6 +19,7 @@ Engine steps run in a worker thread so the asyncio front-end stays live.
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import logging
 import time
 from collections import deque
@@ -222,34 +223,70 @@ class Batcher:
 
             try:
                 if self._pending_decode is not None:
-                    # ALWAYS drain the in-flight decode before anything else
-                    # touches engine state (prefill would race it)
+                    # drain the in-flight decode; an admissible prefill
+                    # OVERLAPS the fetch instead of waiting behind it (JAX
+                    # dispatch is async: the prefill queues on device right
+                    # after the chunk, so a new request's first token costs
+                    # ~prefill time instead of chunk-drain + prefill —
+                    # measured p50 TTFT at QPS 1 was dominated by that
+                    # drain). Stale chunk rows can then target slots whose
+                    # NEW request was prefilled after the chunk dispatched;
+                    # _handle_decode_results drops them via the dispatch-
+                    # time epoch (req.start_time > chunk t0).
                     fut = self._pending_decode
-                    # pipeline: dispatch chunk N+1 BEFORE fetching chunk N —
-                    # decode_steps_begin is a non-blocking JAX enqueue, so
-                    # the device computes N+1 while N's outputs cross the
-                    # host link (on a remote-TPU tunnel that fetch is ~30ms;
-                    # without this the device idles for it every chunk).
-                    # Conservative prefill check on the pre-fetch snapshot,
-                    # as before: at worst a prefill is delayed by one chunk.
                     next_begun = None
+                    prefill_task = None
                     pipelined = getattr(
                         self.engine, "supports_decode_pipeline", False)
-                    if pipelined and self.active \
-                            and self._should_prefill() is None:
+                    batch = self._should_prefill() if pipelined else None
+                    if batch is not None:
+                        prefill_task = loop.create_task(
+                            self._do_prefill(loop, batch))
+                    elif pipelined and self.active:
+                        # pipeline: dispatch chunk N+1 BEFORE fetching N —
+                        # the device computes N+1 while N's outputs cross
+                        # the host link (~30ms on a remote-TPU tunnel)
                         next_begun = self._decode_begin()
                     try:
+                        if prefill_task is None and pipelined:
+                            # watch for arrivals while the chunk completes:
+                            # a request landing mid-fetch is admitted NOW,
+                            # overlapping the remaining chunk time
+                            self._wake.clear()
+                            wake_task = loop.create_task(self._wake.wait())
+                            done, _ = await asyncio.wait(
+                                {fut, wake_task},
+                                return_when=asyncio.FIRST_COMPLETED)
+                            wake_task.cancel()
+                            if fut not in done:
+                                batch = self._should_prefill()
+                                if batch is not None:
+                                    prefill_task = loop.create_task(
+                                        self._do_prefill(loop, batch))
                         steps = await fut
                     except BaseException:
                         # the already-dispatched next chunk is poisoned with
                         # this one; the error handlers below reset the engine
                         self._pending_decode = None
+                        if prefill_task is not None:
+                            with contextlib.suppress(BaseException):
+                                await prefill_task
                         raise
                     self._pending_decode = None
+                    if prefill_task is not None:
+                        # engine ops are not concurrent-safe: the next
+                        # decode dispatch must wait for the prefill
+                        # (_do_prefill handles its own failures)
+                        await prefill_task
                     if next_begun is not None:
+                        # chunk N+1 was dispatched before any mid-await
+                        # prefill: its outputs MUST still be fetched (its
+                        # tokens are real; a later-prefilled slot's rows
+                        # are dropped by the epoch check)
                         self._pending_decode = loop.run_in_executor(
                             None, self._decode_end, next_begun)
-                    elif (not pipelined) and self.active \
+                    elif prefill_task is None and (not pipelined) \
+                            and self.active \
                             and self._should_prefill() is None:
                         self._pending_decode = loop.run_in_executor(
                             None, self._decode_call)
@@ -416,7 +453,7 @@ class Batcher:
         metrics.increment("tgi_batch_inference_success", method="next_token")
         metrics.observe("tgi_batch_inference_batch_size", len(self.active),
                         method="next_token")
-        return steps, getattr(self.engine, "last_n_emitted", None)
+        return steps, getattr(self.engine, "last_n_emitted", None), t0
 
     def _decode_call(self):
         """Runs on the executor thread: one engine decode dispatch + fetch.
@@ -445,10 +482,10 @@ class Batcher:
         metrics.increment("tgi_batch_inference_success", method="next_token")
         metrics.observe("tgi_batch_inference_batch_size", len(self.active),
                         method="next_token")
-        return steps, getattr(self.engine, "last_n_emitted", None)
+        return steps, getattr(self.engine, "last_n_emitted", None), t0
 
     def _handle_decode_results(self, result) -> None:
-        steps, n_emit = result
+        steps, n_emit, dispatch_t0 = result
         self.steps_since_prefill += len(steps)
         t_proc = time.monotonic()
         for j, step in enumerate(steps):
@@ -458,7 +495,12 @@ class Batcher:
                 break
             rows = {
                 slot: req for slot, req in list(self.active.items())
-                if n_emit is None or j < n_emit[slot]
+                # epoch guard: a request prefilled AFTER this chunk was
+                # dispatched (overlapped prefill) must not consume the
+                # chunk's rows for its slot — they belong to whatever
+                # occupied the slot when the chunk ran
+                if (n_emit is None or j < n_emit[slot])
+                and (req.start_time is None or req.start_time <= dispatch_t0)
             }
             if rows:
                 self._process_step(rows, step)
