@@ -235,6 +235,64 @@ class TestPagedAttentionPartialStacked(TestPagedAttention):
         assert np.asarray(l)[0].max() == 0.0
         assert np.all(np.isneginf(np.asarray(m)[0]))
 
+    def make_stacked_int8(self, layers=3, seed=13, **kw):
+        """int8 pools + [L, K, POOL_R] f32 scale pools (same quantization
+        scheme as PagedKVCache: symmetric per-row-per-head absmax/127)."""
+        rng = np.random.default_rng(seed)
+        q, kps, vps, bt, ctx, ps = self.make_stacked(layers=layers,
+                                                     seed=seed, **kw)
+        def quant(p):
+            s = np.abs(np.asarray(p)).max(axis=-1) / 127.0   # [L, K, R]
+            s = np.maximum(s, 1e-8)
+            qv = np.clip(np.round(np.asarray(p) / s[..., None]),
+                         -127, 127).astype(np.int8)
+            return jnp.asarray(qv), jnp.asarray(s, jnp.float32)
+        kq, ks = quant(kps)
+        vq, vs = quant(vps)
+        return q, kq, vq, ks, vs, bt, ctx, ps
+
+    def test_int8_stacked_matches_scale_reference(self):
+        q, kq, vq, ks, vs, bt, ctx, ps = self.make_stacked_int8()
+        for li in range(kq.shape[0]):
+            acc_r, m_r, l_r = pa.paged_decode_attention_partial_reference(
+                q, kq[li], vq[li], bt, ctx, ps,
+                k_scale_pool=ks[li], v_scale_pool=vs[li])
+            acc_k, m_k, l_k = pa.paged_decode_attention_partial_stacked(
+                q, kq, vq, bt, ctx, jnp.asarray([li], jnp.int32), ps,
+                k_scale_pools=ks, v_scale_pools=vs, interpret=True)
+            np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_r),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(l_k), np.asarray(l_r),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(acc_k), np.asarray(acc_r),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_int8_stacked_close_to_fp_attention(self):
+        """End-to-end sanity: quantized-pool attention stays close to the
+        full-precision pool result (int8 per-row symmetric error only)."""
+        q, kps, vps, bt, ctx, ps = self.make_stacked(seed=13)
+        q2, kq, vq, ks, vs, bt2, ctx2, ps2 = self.make_stacked_int8(seed=13)
+        acc_f, m_f, l_f = pa.paged_decode_attention_partial_stacked(
+            q, kps, vps, bt, ctx, jnp.asarray([0], jnp.int32), ps,
+            interpret=True)
+        acc_q, m_q, l_q = pa.paged_decode_attention_partial_stacked(
+            q2, kq, vq, bt2, ctx2, jnp.asarray([0], jnp.int32), ps2,
+            k_scale_pools=ks, v_scale_pools=vs, interpret=True)
+        out_f = np.asarray(acc_f) / np.maximum(np.asarray(l_f)[..., None],
+                                               1e-30)
+        out_q = np.asarray(acc_q) / np.maximum(np.asarray(l_q)[..., None],
+                                               1e-30)
+        np.testing.assert_allclose(out_q, out_f, rtol=0.1, atol=0.05)
+
+    def test_int8_zero_context_slot(self):
+        q, kq, vq, ks, vs, bt, _, ps = self.make_stacked_int8(seed=17)
+        ctx = jnp.asarray([0, ps, 5], jnp.int32)
+        acc, m, l = pa.paged_decode_attention_partial_stacked(
+            q, kq, vq, bt, ctx, jnp.asarray([1], jnp.int32), ps,
+            k_scale_pools=ks, v_scale_pools=vs, interpret=True)
+        assert np.asarray(l)[0].max() == 0.0
+        assert np.all(np.isneginf(np.asarray(m)[0]))
+
 
 from text_generation_inference_tpu.ops.pallas import ring_decode_attention as rda
 

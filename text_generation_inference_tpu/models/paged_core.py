@@ -51,11 +51,12 @@ def _partial_attention_stacked(qg, kpools, vpools, bt, ctx, li, page_size,
     slice feeding a custom call costs ~3x the KV traffic; see
     _kernel_all_heads_stats_stacked).
 
-    int8 pools (ks_pools/vs_pools given) take the gather-based reference
-    path with scale folding — the Pallas kernel carries no scale operands
-    (the int8 long-context kernel regime is a known perf follow-up;
-    correctness first)."""
-    if not use_kernel or ks_pools is not None:
+    int8 pools (ks_pools/vs_pools given) ride the quantized kernel variant
+    — the scale pools are two extra block-table-indexed operands
+    (_kernel_all_heads_stats_stacked_i8) — so the long-context int8-KV
+    regime streams pages like the bf16 path instead of falling back to the
+    HBM-materializing XLA gather."""
+    if not use_kernel:
         kp = jax.lax.dynamic_index_in_dim(kpools, li, 0, keepdims=False)
         vp = jax.lax.dynamic_index_in_dim(vpools, li, 0, keepdims=False)
         ksp = vsp = None
@@ -68,6 +69,7 @@ def _partial_attention_stacked(qg, kpools, vpools, bt, ctx, li, page_size,
             qg, kp, vp, bt, ctx, page_size, alibi_slopes_kg=slopes_kg,
             k_scale_pool=ksp, v_scale_pool=vsp)
     li = jnp.asarray(li, jnp.int32).reshape(1)
+    quant = ks_pools is not None
     if mesh is not None and mesh.shape.get("model", 1) > 1 \
             and spec.num_kv_heads % mesh.shape["model"] == 0:
         import functools
@@ -75,20 +77,32 @@ def _partial_attention_stacked(qg, kpools, vpools, bt, ctx, li, page_size,
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
+        kv_spec = P(None, "model", None, None)
+        in_specs = [kv_spec, kv_spec, kv_spec, P(None, None), P(None),
+                    P(None)]
+        args = [qg, kpools, vpools, bt, ctx, li]
+        if quant:
+            def wrapped(qg, kp, vp, bt, ctx, li, ksp, vsp):
+                return paged_decode_attention_partial_stacked(
+                    qg, kp, vp, bt, ctx, li, page_size,
+                    k_scale_pools=ksp, v_scale_pools=vsp)
+            fn_base = wrapped
+            in_specs += [P(None, "model", None), P(None, "model", None)]
+            args += [ks_pools, vs_pools]
+        else:
+            fn_base = functools.partial(
+                paged_decode_attention_partial_stacked, page_size=page_size)
         fn = shard_map(
-            functools.partial(paged_decode_attention_partial_stacked,
-                              page_size=page_size),
+            fn_base,
             mesh=mesh,
-            in_specs=(P(None, "model", None, None),
-                      P(None, "model", None, None),
-                      P(None, "model", None, None),
-                      P(None, None), P(None), P(None)),
+            in_specs=tuple(in_specs),
             out_specs=(P(None, "model", None, None), P(None, "model", None),
                        P(None, "model", None)),
             check_rep=False)
-        return fn(qg, kpools, vpools, bt, ctx, li)
-    return paged_decode_attention_partial_stacked(qg, kpools, vpools, bt,
-                                                  ctx, li, page_size)
+        return fn(*args)
+    return paged_decode_attention_partial_stacked(
+        qg, kpools, vpools, bt, ctx, li, page_size,
+        k_scale_pools=ks_pools, v_scale_pools=vs_pools)
 
 
 def _use_kernel() -> bool:

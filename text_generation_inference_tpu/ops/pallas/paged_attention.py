@@ -32,14 +32,22 @@ NEG_INF = float("-inf")
 
 
 def _flash_page_update(q, k, v, ctx, b, page_size, scale,
-                       m_ref, l_ref, acc_ref):
+                       m_ref, l_ref, acc_ref, ks=None, vs=None):
     """One online-softmax update step over a single page: q [K,G,D] f32,
     k/v [K,page,D] f32; folds the page's scores into the running
-    (m, l, acc) scratch state."""
+    (m, l, acc) scratch state.
+
+    ks/vs ([K, page] f32, optional) are per-row-per-head dequant factors
+    for int8 pools: the k scale factors out of the head_dim contraction
+    (applied to the scores), the v scale folds into the probabilities
+    before the value contraction — identical math to the gather reference
+    (paged_decode_attention_partial_reference)."""
     kh, g, d = q.shape
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale  # [K, G, page]
+    if ks is not None:
+        scores = scores * ks[:, None, :]
     pos = b * page_size + jax.lax.broadcasted_iota(
         jnp.int32, scores.shape, 2)
     scores = jnp.where(pos < ctx, scores, NEG_INF)
@@ -59,8 +67,9 @@ def _flash_page_update(q, k, v, ctx, b, page_size, scale,
     v_valid = (b * page_size + jax.lax.broadcasted_iota(
         jnp.int32, v.shape, 1)) < ctx
     v = jnp.where(v_valid, v, 0.0)
+    p_v = p * vs[:, None, :] if vs is not None else p
     pv = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
+        p_v, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # [K, G, D]
     acc_ref[...] = (acc_ref[...].reshape(kh, g, d) * alpha
                     + pv).reshape(kh * g, d)
@@ -132,6 +141,45 @@ def _kernel_all_heads_stats_stacked(li_ref, ctx_ref, bt_ref,
                            k_ref[0].astype(jnp.float32),
                            v_ref[0].astype(jnp.float32),
                            ctx, b, page_size, scale, m_ref, l_ref, acc_ref)
+
+    @pl.when(b == nb - 1)
+    def _finish():
+        kh, g, d = o_ref.shape[1], o_ref.shape[2], o_ref.shape[3]
+        o_ref[0] = acc_ref[...].reshape(kh, g, d).astype(o_ref.dtype)
+        mo_ref[0] = m_ref[...].reshape(kh, g).astype(mo_ref.dtype)
+        lo_ref[0] = l_ref[...].reshape(kh, g).astype(lo_ref.dtype)
+
+
+def _kernel_all_heads_stats_stacked_i8(li_ref, ctx_ref, bt_ref,
+                                       q_ref, k_ref, v_ref,
+                                       ks_ref, vs_ref,
+                                       o_ref, mo_ref, lo_ref,
+                                       m_ref, l_ref, acc_ref, *,
+                                       page_size: int, scale: float):
+    """int8-pool variant of _kernel_all_heads_stats_stacked: two extra
+    operands carry the per-row-per-head quantization factors
+    ([L, K, POOL_R] f32, blocked like the KV pools), dereferenced through
+    the same block-table index map. This keeps the long-context int8-KV
+    regime on the Pallas kernel instead of the XLA gather fallback (which
+    materializes the gathered pages in HBM every (layer, step))."""
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    ctx = ctx_ref[s]
+
+    @pl.when(b == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(b * page_size < ctx)
+    def _compute():
+        _flash_page_update(q_ref[0].astype(jnp.float32),
+                           k_ref[0].astype(jnp.float32),
+                           v_ref[0].astype(jnp.float32),
+                           ctx, b, page_size, scale, m_ref, l_ref, acc_ref,
+                           ks=ks_ref[0], vs=vs_ref[0])
 
     @pl.when(b == nb - 1)
     def _finish():
@@ -289,15 +337,22 @@ def paged_decode_attention_partial_stacked(q: jax.Array, k_pools: jax.Array,
                                            ctx: jax.Array,
                                            layer_idx: jax.Array,
                                            page_size: int,
-                                           *, interpret: bool = False):
+                                           *, k_scale_pools=None,
+                                           v_scale_pools=None,
+                                           interpret: bool = False):
     """paged_decode_attention_partial over LAYER-STACKED pools
     ([L, K, POOL_R, D]) with the layer picked by a scalar-prefetched index
     — see _kernel_all_heads_stats_stacked for why this beats slicing the
-    pool per layer in a scan. layer_idx: [1] (or scalar) int32."""
+    pool per layer in a scan. layer_idx: [1] (or scalar) int32.
+
+    k_scale_pools/v_scale_pools ([L, K, POOL_R] f32, optional): per-row
+    dequant factors for int8 KV pools, blocked and block-table-indexed
+    like the pools themselves (_kernel_all_heads_stats_stacked_i8)."""
     s, kh, g, d = q.shape
     max_pages = block_table.shape[1]
     scale = 1.0 / math.sqrt(d)
     layer_idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    quant = k_scale_pools is not None
 
     def q_index(si, bi, li_ref, ctx_ref, bt_ref):
         return (si, 0, 0, 0)
@@ -310,20 +365,34 @@ def paged_decode_attention_partial_stacked(q: jax.Array, k_pools: jax.Array,
         page = bt_ref[si, jnp.minimum(bi, last_live)]
         return (li_ref[0], 0, page, 0)
 
+    def scale_index(si, bi, li_ref, ctx_ref, bt_ref):
+        last_live = jnp.clip(pl.cdiv(ctx_ref[si], page_size) - 1, 0,
+                             max_pages - 1)
+        page = bt_ref[si, jnp.minimum(bi, last_live)]
+        return (li_ref[0], 0, page)
+
     def o_index(si, bi, li_ref, ctx_ref, bt_ref):
         return (si, 0, 0, 0)
 
     def stat_index(si, bi, li_ref, ctx_ref, bt_ref):
         return (si, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, kh, g, d), q_index),
+        pl.BlockSpec((1, kh, page_size, d), kv_index),
+        pl.BlockSpec((1, kh, page_size, d), kv_index),
+    ]
+    operands = [q, k_pools, v_pools]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, kh, page_size), scale_index),
+            pl.BlockSpec((1, kh, page_size), scale_index),
+        ]
+        operands += [k_scale_pools, v_scale_pools]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, kh, g, d), q_index),
-            pl.BlockSpec((1, kh, page_size, d), kv_index),
-            pl.BlockSpec((1, kh, page_size, d), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, kh, g, d), o_index),
             pl.BlockSpec((1, kh, g), stat_index),
@@ -336,8 +405,10 @@ def paged_decode_attention_partial_stacked(q: jax.Array, k_pools: jax.Array,
         ],
     )
     kernel = pl.pallas_call(
-        functools.partial(_kernel_all_heads_stats_stacked,
-                          page_size=page_size, scale=scale),
+        functools.partial(
+            _kernel_all_heads_stats_stacked_i8 if quant
+            else _kernel_all_heads_stats_stacked,
+            page_size=page_size, scale=scale),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s, kh, g, d), jnp.float32),
@@ -347,7 +418,7 @@ def paged_decode_attention_partial_stacked(q: jax.Array, k_pools: jax.Array,
         interpret=interpret,
     )
     return kernel(layer_idx, ctx.astype(jnp.int32),
-                  block_table.astype(jnp.int32), q, k_pools, v_pools)
+                  block_table.astype(jnp.int32), *operands)
 
 
 def paged_decode_attention_partial_reference(q, k_pool, v_pool, block_table,
