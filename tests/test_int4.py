@@ -288,3 +288,114 @@ class TestStackedScan:
                                    rtol=1e-2, atol=1e-2)
         np.testing.assert_allclose(np.asarray(got_ys), np.asarray(ref_ys),
                                    rtol=1e-2, atol=1e-2)
+
+
+class TestFusedMlpKernel:
+    """int4_mlp_s4_stacked: whole GLU MLP in one kernel must match the
+    two-GEMM + activation reference per layer."""
+
+    def make(self, layers=3, s=5, h=256, inter=384, gs=128, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(s, h)) * 0.3, jnp.float32)
+        gu_q = rng.integers(-8, 8, size=(layers, h, 2 * inter))
+        d_q = rng.integers(-8, 8, size=(layers, inter, h))
+        gu_sc = jnp.asarray(
+            rng.uniform(0.5, 1.5, size=(layers, h // gs, 2 * inter))
+            * (0.6 / np.sqrt(h) / 4.6), jnp.float32)
+        d_sc = jnp.asarray(
+            rng.uniform(0.5, 1.5, size=(layers, inter // gs, h))
+            * (0.6 / np.sqrt(inter) / 4.6), jnp.float32)
+        # natural zbias = (zero+1)*scale with zero = 8 (symmetric)
+        gu_zb = 8.0 * gu_sc
+        d_zb = 8.0 * d_sc
+        gu_q4 = jnp.asarray(gu_q, jnp.int4)
+        d_q4 = jnp.asarray(d_q, jnp.int4)
+        return x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb, gs
+
+    @staticmethod
+    def ref_mlp(x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb, gs, li,
+                activation="silu_glu"):
+        def deq(q4, sc, zb):
+            in_f, out_f = q4.shape
+            w = (q4.astype(jnp.float32)
+                 * jnp.repeat(sc, gs, axis=0)
+                 - jnp.repeat(zb - 8.0 * sc, gs, axis=0))
+            return w
+        wgu = deq(gu_q4[li], gu_sc[li], gu_zb[li])
+        inter = d_q4.shape[1]
+        gu = x @ wgu
+        g, u = gu[:, :inter], gu[:, inter:]
+        if activation == "silu_glu":
+            a = jax.nn.silu(g) * u
+        else:
+            a = jax.nn.gelu(g, approximate=True) * u
+        wd = deq(d_q4[li], d_sc[li], d_zb[li])
+        return a @ wd
+
+    @staticmethod
+    def blocked_down(d_sc, d_zb, inter, gs, s, block_i=None):
+        bi = block_i or im.mlp_block_i(inter, d_sc.shape[2], gs,
+                                       max(8, -(-s // 8) * 8))
+        return im.prep_stacked_scales(d_sc, d_zb, inter, bi, gs)
+
+    def test_matches_reference_per_layer(self):
+        x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb, gs = self.make()
+        inter = d_q4.shape[1]
+        dsb, dzb_b = self.blocked_down(d_sc, d_zb, inter, gs, x.shape[0])
+        for li in range(gu_q4.shape[0]):
+            ref = self.ref_mlp(x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb,
+                               gs, li)
+            got = im.int4_mlp_s4_stacked(
+                x, gu_q4, gu_sc, gu_zb, d_q4, dsb, dzb_b,
+                jnp.asarray([li], jnp.int32), inter=inter,
+                groupsize_down=gs,
+                compute_dtype=jnp.float32, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_small_block_i(self):
+        x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb, gs = self.make(seed=3)
+        inter = d_q4.shape[1]
+        dsb, dzb_b = self.blocked_down(d_sc, d_zb, inter, gs, x.shape[0],
+                                       block_i=128)
+        ref = self.ref_mlp(x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb, gs, 1)
+        got = im.int4_mlp_s4_stacked(
+            x, gu_q4, gu_sc, gu_zb, d_q4, dsb, dzb_b,
+            jnp.asarray([1], jnp.int32), inter=inter, groupsize_down=gs,
+            block_i=128, compute_dtype=jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_gelu_glu(self):
+        x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb, gs = self.make(seed=5)
+        inter = d_q4.shape[1]
+        dsb, dzb_b = self.blocked_down(d_sc, d_zb, inter, gs, x.shape[0])
+        ref = self.ref_mlp(x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb, gs, 0,
+                           activation="gelu_glu")
+        got = im.int4_mlp_s4_stacked(
+            x, gu_q4, gu_sc, gu_zb, d_q4, dsb, dzb_b,
+            jnp.asarray([0], jnp.int32), inter=inter, groupsize_down=gs,
+            activation="gelu_glu", compute_dtype=jnp.float32,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_traced_layer_in_scan(self):
+        x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb, gs = self.make(layers=2,
+                                                                seed=7)
+        inter = d_q4.shape[1]
+        dsb, dzb_b = self.blocked_down(d_sc, d_zb, inter, gs, x.shape[0])
+
+        def step(carry, li):
+            y = im.int4_mlp_s4_stacked(
+                x, gu_q4, gu_sc, gu_zb, d_q4, dsb, dzb_b, li,
+                inter=inter, groupsize_down=gs,
+                compute_dtype=jnp.float32, interpret=True)
+            return carry, y
+
+        _, ys = jax.lax.scan(step, 0, jnp.arange(2, dtype=jnp.int32))
+        for li in range(2):
+            ref = self.ref_mlp(x, gu_q4, gu_sc, gu_zb, d_q4, d_sc, d_zb,
+                               gs, li)
+            np.testing.assert_allclose(np.asarray(ys[li]), np.asarray(ref),
+                                       rtol=2e-4, atol=2e-4)

@@ -501,6 +501,14 @@ def _attn_out(spec: DecoderSpec, lp: dict, attn: jax.Array) -> jax.Array:
 
 def _mlp(spec: DecoderSpec, lp: dict, x: jax.Array) -> jax.Array:
     if "w_gu" in lp:
+        if "b_gu" not in lp and not spec.mlp_bias and linops.can_fuse_mlp(
+                lp["w_gu"], lp["w_down"], spec.activation,
+                int(np.prod(x.shape[:-1]))):
+            # decode INT4 fast path: gu GEMM + activation + down GEMM as
+            # ONE Pallas launch (no [S, 2I] HBM round-trip, one pipeline
+            # ramp instead of two) — ops/pallas/int4_matmul.py
+            return linops.mlp_fused(x, lp["w_gu"], lp["w_down"],
+                                    spec.activation)
         gu = linops.matmul(x, lp["w_gu"])
         if "b_gu" in lp:
             gu = gu + lp["b_gu"]

@@ -40,6 +40,14 @@ class Int4Stacked(NamedTuple):
     layer: jax.Array         # scalar i32 (traced) layer index
     groupsize: int
     out_features: int
+    # natural [L, groups, out] scales/zbias (unblocked) — consumed by the
+    # fused MLP kernel for the gu projection, whose whole-contraction
+    # blocks need no gpb padding
+    sc: Optional[jax.Array] = None
+    zb: Optional[jax.Array] = None
+    # MLP-blocked down-projection scales (Int4Weight.mlp_sc_b passthrough)
+    mlp_sc_b: Optional[jax.Array] = None
+    mlp_zb_b: Optional[jax.Array] = None
 
 
 def _use_pallas() -> bool:
@@ -98,6 +106,51 @@ def matmul(x: jax.Array, w) -> jax.Array:
     return jnp.dot(x, w)
 
 
+_MLP_FUSE_MAX_ROWS = 64
+
+
+def can_fuse_mlp(w_gu, w_down, activation: str, rows: int) -> bool:
+    """True when the decode MLP pair can run as ONE Pallas kernel
+    (int4_mlp_s4_stacked): both weights stacked s4, the down projection
+    carrying MLP-blocked scales (prepare_params attached them for this
+    row count), a GLU activation, no act-order perms, and a decode-size
+    row count (the kernel holds x and the [S, H] accumulator in VMEM —
+    prefill row counts would blow it, and prefill is MXU-bound anyway)."""
+    if not (isinstance(w_gu, Int4Stacked) and isinstance(w_down, Int4Stacked)
+            and w_gu.sc is not None and w_down.mlp_sc_b is not None
+            and w_gu.perm is None and w_down.perm is None
+            and activation in ("silu_glu", "gelu_glu")
+            and rows <= _MLP_FUSE_MAX_ROWS
+            and w_gu.out_features == 2 * w_down.q4.shape[1]):
+        return False
+    # the blocked layout must match the block pick for THIS row count
+    # (a different caller, e.g. speculative verify, may see other rows)
+    from .pallas.int4_matmul import _GPB_PAD, mlp_block_i
+
+    L, inter, h = w_down.q4.shape
+    s_pad = max(8, -(-rows // 8) * 8)
+    bi = mlp_block_i(inter, h, w_down.groupsize, s_pad)
+    gpb_pad = -(-(bi // w_down.groupsize) // _GPB_PAD) * _GPB_PAD
+    return w_down.mlp_sc_b.shape == (L, inter // bi, gpb_pad, h)
+
+
+def mlp_fused(x: jax.Array, w_gu: Int4Stacked, w_down: Int4Stacked,
+              activation: str) -> jax.Array:
+    """down(act(gate) * up) in one Pallas launch — see
+    ops/pallas/int4_matmul.py::int4_mlp_s4_stacked."""
+    from .pallas.int4_matmul import int4_mlp_s4_stacked
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    inter = w_down.q4.shape[1]
+    y = int4_mlp_s4_stacked(
+        x2, w_gu.q4, w_gu.sc, w_gu.zb, w_down.q4,
+        w_down.mlp_sc_b, w_down.mlp_zb_b,
+        w_gu.layer, inter=inter, groupsize_down=w_down.groupsize,
+        activation=activation)
+    return y.reshape(*lead, w_down.out_features)
+
+
 def prepare_params(params, rows: Optional[int] = None):
     """Called INSIDE an engine step jit, before the layer scan: converts
     packed Int4Weight leaves to the native-s4 representation consumed by
@@ -133,8 +186,48 @@ def prepare_params(params, rows: Optional[int] = None):
             return leaf
         return leaf
 
-    return jax.tree_util.tree_map(
+    out = jax.tree_util.tree_map(
         conv, params, is_leaf=lambda x: isinstance(x, Int4Weight))
+    if block_scales:
+        out = _prepare_mlp_pair(out, rows)
+    return out
+
+
+def _prepare_mlp_pair(params, rows: int):
+    """Attach MLP-fusion blocked down scales (Int4Weight.mlp_sc_b) when
+    the layers dict holds a fusable stacked w_gu/w_down pair — once per
+    dispatch, hoisted out of the layer scan like sc_b/zb_b.
+
+    Default OFF: measured on v5e at the 7B decode shape (S=16), the fused
+    kernel runs the MLP in 0.242 ms vs 0.238 for the two stacked GEMMs —
+    the saved pipeline ramp does not pay for the narrower (block_i-wide)
+    MXU dots, because the stacked GEMM kernel is weight-processing-bound,
+    not launch-bound (scripts/probe_int4.py + /tmp probe history, r5).
+    Kept as an A/B lever (INT4_FUSED_MLP=1)."""
+    if os.getenv("INT4_FUSED_MLP", "0").lower() in ("0", "false") \
+            or rows > _MLP_FUSE_MAX_ROWS or not isinstance(params, dict):
+        return params
+    layers = params.get("layers")
+    if not isinstance(layers, dict):
+        return params
+    wgu, wd = layers.get("w_gu"), layers.get("w_down")
+    if not (isinstance(wgu, Int4Weight) and isinstance(wd, Int4Weight)
+            and wgu.q4 is not None and wgu.q4.ndim == 3
+            and wd.q4 is not None and wd.q4.ndim == 3
+            and wgu.perm is None and wd.perm is None):
+        return params
+    from .pallas.int4_matmul import mlp_block_i, prep_stacked_scales
+
+    L, inter, h = wd.q4.shape
+    gs_d = inter // wd.scales.shape[-2]
+    s_pad = max(8, -(-rows // 8) * 8)
+    bi = mlp_block_i(inter, h, gs_d, s_pad)
+    sc_b, zb_b = prep_stacked_scales(wd.scales, wd.zbias, inter, bi, gs_d)
+    layers = dict(layers)
+    layers["w_down"] = wd._replace(mlp_sc_b=sc_b, mlp_zb_b=zb_b)
+    out = dict(params)
+    out["layers"] = layers
+    return out
 
 
 def prepare_storage(params):
@@ -227,7 +320,8 @@ def split_stacked_quant(layers, rows: int):
             bi, _bo = stacked_blocks(in_f, out_f, gs, rows)
             sc_b, zb_b = prep_stacked_scales(leaf.scales, leaf.zbias, in_f,
                                              bi, gs)
-        refs[i] = (leaf.q4, sc_b, zb_b, leaf.perm, gs, out_f)
+        refs[i] = (leaf.q4, sc_b, zb_b, leaf.perm, gs, out_f,
+                   leaf.scales, leaf.zbias, leaf.mlp_sc_b, leaf.mlp_zb_b)
         num_layers = lcount
     if not refs:
         return None
@@ -240,10 +334,12 @@ def split_stacked_quant(layers, rows: int):
     def rebuild(dlp, layer_idx):
         dl, td = jax.tree_util.tree_flatten(dlp, is_leaf=is_q)
         out = list(dl)
-        for i, (q4, sc_b, zb_b, perm, gs, out_f) in refs.items():
+        for i, (q4, sc_b, zb_b, perm, gs, out_f, sc, zb,
+                mlp_sc_b, mlp_zb_b) in refs.items():
             out[i] = Int4Stacked(q4=q4, sc_b=sc_b, zb_b=zb_b, perm=perm,
                                  layer=layer_idx, groupsize=gs,
-                                 out_features=out_f)
+                                 out_features=out_f, sc=sc, zb=zb,
+                                 mlp_sc_b=mlp_sc_b, mlp_zb_b=mlp_zb_b)
         return jax.tree_util.tree_unflatten(td, out)
 
     return dense_layers, num_layers, rebuild

@@ -188,6 +188,196 @@ def _kernel_s4_stacked(li_ref,       # scalar prefetch: [1] int32 layer id
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _group_dot_s4(x, w4, sc, zb, groupsize, compute_dtype):
+    """y = x @ dequant(w4) with per-group scales along the contraction dim:
+    x [S, BI] (compute dtype), w4 [BI, BO] s4, sc/zb [BI/gs, BO] with the
+    s4 zero-shift already folded (zb4 = zbias - 8*scale). Returns f32
+    [S, BO] — the group-dot formulation of _kernel_s4 (one small MXU dot
+    per 128-row group, scale FMA on the partials)."""
+    bi, bo = w4.shape
+    gpb = bi // groupsize
+    w = w4.astype(compute_dtype)
+    wg = w.reshape(gpb, groupsize, bo)
+    xg = x.reshape(x.shape[0], gpb, groupsize)
+    acc = jnp.zeros((x.shape[0], bo), jnp.float32)
+    for g in range(gpb):
+        partial = jax.lax.dot_general(
+            xg[:, g, :], wg[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [S, BO]
+        acc = acc + partial * sc[g][None, :].astype(jnp.float32)
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=2)     # [S, gpb]
+    acc = acc - jax.lax.dot_general(
+        xsum, zb.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return acc
+
+
+def _kernel_mlp_s4_stacked(li_ref,
+                           x_ref,       # [S, H]
+                           g4_ref,      # [1, H, BI] gate cols of gu stack
+                           u4_ref,      # [1, H, BI] up cols of gu stack
+                           gsc_ref,     # [1, GH, BI] gate scales
+                           gzb_ref,     # [1, GH, BI] gate zbias
+                           usc_ref,     # [1, GH, BI] up scales
+                           uzb_ref,     # [1, GH, BI] up zbias
+                           d4_ref,      # [1, BI, H] down rows
+                           dsc_ref,     # [1, 1, GPB_PAD, H] down scales,
+                                        #   pre-blocked + 8-sublane-padded
+                                        #   (prep_stacked_scales; a raw
+                                        #   gpb_d-row block would violate
+                                        #   the 8-sublane block rule)
+                           dzb_ref,     # [1, 1, GPB_PAD, H] (s4-shifted)
+                           o_ref,       # [S, H]
+                           acc_ref,     # VMEM [S, H] f32
+                           *, gs_gu: int, gs_down: int, compute_dtype,
+                           activation: str):
+    """Whole GLU MLP — down(act(x@Wg) * (x@Wu)) — in ONE kernel: the grid
+    walks blocks of the INTERMEDIATE dim; each iteration streams the
+    block's gate/up columns and down rows, computes the activation in
+    VMEM, and accumulates the down partial into the [S, H] accumulator.
+    vs the 2-kernel path (gu GEMM + down GEMM) this saves one pipeline
+    ramp per layer AND never materializes the [S, 2I] intermediate in HBM.
+    Scales/zbias ride in their NATURAL [L, G, out] layout (blocks are
+    whole-contraction here, so no gpb padding needed); the s4 zero-shift
+    zb4 = zbias - 8*scale folds in on the VPU."""
+    del li_ref
+    j = pl.program_id(0)
+    nj = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(compute_dtype)               # [S, H]
+    gsc = gsc_ref[0]
+    gzb4 = gzb_ref[0] - 8.0 * gsc
+    g = _group_dot_s4(x, g4_ref[0], gsc, gzb4, gs_gu, compute_dtype)
+    usc = usc_ref[0]
+    uzb4 = uzb_ref[0] - 8.0 * usc
+    u = _group_dot_s4(x, u4_ref[0], usc, uzb4, gs_gu, compute_dtype)
+    if activation == "silu_glu":
+        a = g * jax.lax.logistic(g) * u                # silu(g) * u, f32
+    else:                                              # gelu_glu
+        a = jax.nn.gelu(g, approximate=True) * u
+    gpb_d = d4_ref.shape[1] // gs_down
+    dsc = dsc_ref[0, 0, :gpb_d, :]                     # static slice
+    dzb4 = dzb_ref[0, 0, :gpb_d, :]                    # already s4-shifted
+    acc_ref[...] += _group_dot_s4(a.astype(compute_dtype), d4_ref[0],
+                                  dsc, dzb4, gs_down, compute_dtype)
+
+    @pl.when(j == nj - 1)
+    def _finish():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def mlp_block_i(inter: int, hidden: int, gs: int, s_pad: int) -> int:
+    """Intermediate-dim block for int4_mlp_s4_stacked under the VMEM
+    budget: gate + up column blocks ([H, BI] each) + down row block
+    ([BI, H]) double-buffered, plus the f32 accumulator."""
+    import os
+
+    budget = int(os.getenv("INT4_MLP_BUDGET", str(12 * 1024 * 1024)))
+
+    def vmem_bytes(bi):
+        blocks = 3 * hidden * bi          # s4 ~1B/elem conservative
+        scales = 2 * (hidden // gs) * bi * 4 * 2 + (bi // gs) * hidden * 4 * 2
+        return (2 * blocks                # double-buffered weight blocks
+                + scales
+                + s_pad * hidden * 4      # accumulator
+                + s_pad * hidden * 2      # x
+                + 3 * s_pad * bi * 4)     # g/u/act temps
+    best = gs
+    bi = gs
+    while bi <= inter:
+        if inter % bi == 0 and vmem_bytes(bi) <= budget:
+            best = bi
+        bi += gs
+    return best
+
+
+def int4_mlp_s4_stacked(x: jax.Array, gu_q4: jax.Array, gu_sc: jax.Array,
+                        gu_zb: jax.Array, d_q4: jax.Array,
+                        d_sc_b: jax.Array, d_zb_b: jax.Array,
+                        layer: jax.Array, *,
+                        inter: int, groupsize_down: int,
+                        activation: str = "silu_glu",
+                        compute_dtype=jnp.bfloat16,
+                        block_i: int | None = None,
+                        interpret: bool = False) -> jax.Array:
+    """Fused GLU MLP over layer-stacked s4 weights with scalar-prefetch
+    layer indexing: y = dequant(d)[act(x@dequant(g)) * (x@dequant(u))]
+    where gu_q4 [L, H, 2*inter] holds gate columns [0:inter] and up
+    columns [inter:] (models/fuse.py layout), d_q4 [L, inter, H].
+    gu_sc/gu_zb [L, H/gs, 2*inter] are the NATURAL (unblocked) layouts
+    (the gu blocks span the whole H contraction, so no sublane padding is
+    needed); d_sc_b/d_zb_b come from prep_stacked_scales(d_scales,
+    d_zbias, inter, mlp_block_i(...), gs) — blocked + 8-sublane-padded,
+    s4 shift folded. Sequential g_idx only."""
+    s, h = x.shape
+    L, h2, i2 = gu_q4.shape
+    assert h2 == h and i2 == 2 * inter, (gu_q4.shape, h, inter)
+    gh = gu_sc.shape[1]
+    gs_gu = h // gh
+    gs_down = groupsize_down
+
+    s_pad = max(8, -(-s // 8) * 8)
+    if s_pad != s:
+        x = jnp.pad(x, ((0, s_pad - s), (0, 0)))
+    bi = block_i or mlp_block_i(inter, h, gs_down, s_pad)
+    nj = inter // bi
+    gpb_d = bi // gs_down
+    gpb_d_pad = -(-gpb_d // _GPB_PAD) * _GPB_PAD
+    assert d_sc_b.shape == (L, nj, gpb_d_pad, h), \
+        (d_sc_b.shape, (L, nj, gpb_d_pad, h))
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def x_index(j, li_ref):
+        return (0, 0)
+
+    def gate_index(j, li_ref):
+        return (li_ref[0], 0, j)
+
+    def up_index(j, li_ref):
+        return (li_ref[0], 0, nj + j)
+
+    def down_index(j, li_ref):
+        return (li_ref[0], j, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nj,),
+        in_specs=[
+            pl.BlockSpec((s_pad, h), x_index),
+            pl.BlockSpec((1, h, bi), gate_index),
+            pl.BlockSpec((1, h, bi), up_index),
+            pl.BlockSpec((1, gh, bi), gate_index),
+            pl.BlockSpec((1, gh, bi), gate_index),
+            pl.BlockSpec((1, gh, bi), up_index),
+            pl.BlockSpec((1, gh, bi), up_index),
+            pl.BlockSpec((1, bi, h), down_index),
+            pl.BlockSpec((1, 1, gpb_d_pad, h),
+                         lambda j, li_ref: (li_ref[0], j, 0, 0)),
+            pl.BlockSpec((1, 1, gpb_d_pad, h),
+                         lambda j, li_ref: (li_ref[0], j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((s_pad, h), x_index),
+        scratch_shapes=[pltpu.VMEM((s_pad, h), jnp.float32)],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_kernel_mlp_s4_stacked, gs_gu=gs_gu,
+                          gs_down=gs_down, compute_dtype=compute_dtype,
+                          activation=activation),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s_pad, h), x.dtype),
+        interpret=interpret,
+    )
+    y = kernel(li, x,
+               gu_q4, gu_q4,
+               gu_sc, gu_zb, gu_sc, gu_zb,
+               d_q4, d_sc_b, d_zb_b)
+    return y[:s] if s_pad != s else y
+
+
 def prep_stacked_scales(scales: jax.Array, zbias: jax.Array, in_f: int,
                         block_in: int, groupsize: int,
                         compute_dtype=jnp.bfloat16) -> tuple[jax.Array,

@@ -61,6 +61,13 @@ class Int4Weight(NamedTuple):
     # sharded (the layout is derived from scales/zbias after sharding).
     sc_b: jax.Array | None = None
     zb_b: jax.Array | None = None
+    # MLP-fusion blocked scale/zbias views for the DOWN projection of a
+    # fused GLU pair ([L, nj, gpb_pad, hidden], block_in = the fused
+    # kernel's intermediate block) — populated by ops.linear
+    # .prepare_params(rows=...) when the layers dict holds a fusable
+    # w_gu/w_down pair (ops/pallas/int4_matmul.py::int4_mlp_s4_stacked)
+    mlp_sc_b: jax.Array | None = None
+    mlp_zb_b: jax.Array | None = None
 
     @property
     def in_features(self) -> int:
